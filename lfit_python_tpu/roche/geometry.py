@@ -1,0 +1,311 @@
+"""Roche-lobe geometry core (L0).
+
+TPU-native re-design of the geometry layer of the reference stack
+(reference: trm-roche ``roche.h/.cc`` — ``Roche::xl1``, ``Roche::rpot``,
+``Roche::blink``, ``Roche::findi``, ``Roche::ingress_egress`` [R]; see
+SURVEY.md §2 "Roche geometry").  The reference implements these as scalar
+C++ routines with data-dependent iteration counts; here every routine is a
+**fixed-iteration, branch-free, vmappable** JAX function so it can be traced
+once, fused by XLA, and batched over (walkers x phases x surface elements).
+
+Conventions (dimensionless binary units):
+  * separation a = 1, G*(M1+M2) = 1, orbital angular velocity w = 1;
+  * the white dwarf (primary) sits at the origin, the donor (secondary) at
+    (1, 0, 0); mass ratio q = M2/M1;
+  * orbital phase phi: the donor is in front (WD mid-eclipse) at phi = 0;
+  * the observer unit vector at inclination i is
+        e(phi) = (sin i * cos 2*pi*phi, -sin i * sin 2*pi*phi, cos i).
+
+The central primitive is :func:`ray_clearance`: the minimum over a
+line-of-sight ray of (Roche potential - L1 potential) restricted to the
+neighbourhood of the donor.  ``clearance < 0``  <=>  the ray dips inside the
+donor's Roche lobe  <=>  the point is occulted ("blink" in the reference).
+Because clearance is a smooth function of the start point, the white-dwarf
+partial-eclipse fraction can be computed from it analytically (see
+models/components.py) instead of by per-phase root finds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "roche_potential",
+    "xl1",
+    "l1_potential",
+    "earth_vector",
+    "ray_clearance",
+    "blink",
+    "findi",
+    "eclipse_half_width",
+    "lobe_radius",
+]
+
+# Fixed iteration budgets. Chosen so that f64 results are converged to
+# ~1e-12 and f32 results to roundoff; being fixed keeps XLA control flow
+# static (no data-dependent loops inside jit).
+_XL1_ITERS = 64          # bisection for the L1 point
+_CLEAR_GRID = 16         # coarse scan points along the occultation ray
+_CLEAR_NEWTON = 8        # Newton polish iterations for the ray minimum
+_FINDI_ITERS = 54        # bisection for inclination
+_LOBE_ITERS = 54         # bisection for lobe surface radius
+_PHASE_ITERS = 54        # bisection for eclipse phase width
+
+# Clearance value reported for rays that cannot intersect the donor sphere
+# (donor entirely behind the start point). Potentials are O(1) in binary
+# units so 10.0 is "very visible".
+_CLEAR_VISIBLE = 10.0
+
+
+def roche_potential(q, r):
+    """Dimensionless synchronous Roche potential at position(s) ``r``.
+
+    Phi = -(1-mu)/r1 - mu/r2 - 0.5*((x-mu)^2 + y^2),  mu = q/(1+q)
+
+    ``r`` has shape (..., 3). Reference: trm-roche ``Roche::rpot`` [R].
+    """
+    mu = q / (1.0 + q)
+    x, y, z = r[..., 0], r[..., 1], r[..., 2]
+    r1 = jnp.sqrt(x * x + y * y + z * z)
+    dx = x - 1.0
+    r2 = jnp.sqrt(dx * dx + y * y + z * z)
+    return (
+        -(1.0 - mu) / r1
+        - mu / r2
+        - 0.5 * ((x - mu) ** 2 + y * y)
+    )
+
+
+def _potential_on_axis_dx(q, x):
+    """d(Phi)/dx on the line of centres for 0 < x < 1."""
+    mu = q / (1.0 + q)
+    return (1.0 - mu) / (x * x) - mu / ((1.0 - x) ** 2) - (x - mu)
+
+
+def xl1(q):
+    """Distance of the inner Lagrangian point L1 from the primary.
+
+    Fixed-iteration bisection of d(Phi)/dx on (0, 1): monotonically
+    decreasing there (single root). Reference: trm-roche ``Roche::xl1`` [R].
+    """
+    q = jnp.asarray(q)
+    lo = jnp.full_like(q, 1e-6)
+    hi = jnp.full_like(q, 1.0 - 1e-6)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        f = _potential_on_axis_dx(q, mid)
+        # f > 0 near the primary, f < 0 near the donor.
+        lo = jnp.where(f > 0.0, mid, lo)
+        hi = jnp.where(f > 0.0, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _XL1_ITERS, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
+def l1_potential(q, xl1_val=None):
+    """Roche potential at the L1 point (the lobe-surface equipotential)."""
+    if xl1_val is None:
+        xl1_val = xl1(q)
+    p = jnp.stack(
+        [xl1_val, jnp.zeros_like(xl1_val), jnp.zeros_like(xl1_val)], axis=-1
+    )
+    return roche_potential(q, p)
+
+
+def earth_vector(phase, incl_deg):
+    """Unit vector from the binary towards the observer at orbital phase.
+
+    ``phase`` in orbital cycles, ``incl_deg`` inclination in degrees.
+    Broadcasts; returns shape broadcast(phase, incl).shape + (3,).
+    """
+    i = jnp.deg2rad(incl_deg)
+    ph = 2.0 * jnp.pi * phase
+    si = jnp.sin(i)
+    e = jnp.stack(
+        jnp.broadcast_arrays(
+            si * jnp.cos(ph), -si * jnp.sin(ph), jnp.cos(i) * jnp.ones_like(ph)
+        ),
+        axis=-1,
+    )
+    return e
+
+
+def ray_clearance(q, p, e, xl1_val, phi_l1, with_grad=False):
+    """Minimum of (Phi - Phi_L1) along the sight-line from ``p`` towards ``e``.
+
+    The minimisation is restricted to the segment of the ray inside the
+    sphere centred on the donor (1,0,0) with radius (1 - xl1) — the smallest
+    sphere enclosing the whole Roche lobe — so the primary's own potential
+    well can never trigger a false occultation.  The restriction degrades
+    gracefully: a ray missing the sphere collapses the segment to the point
+    of closest approach, keeping clearance positive and *continuous* in
+    (p, e), which the analytic white-dwarf eclipse fraction relies on.
+
+    Negative clearance  <=>  occulted (reference ``Roche::blink`` [R]).
+
+    Scalar in (p, e): vmap for batches.  If ``with_grad`` also returns the
+    gradient of the clearance w.r.t. ``p`` (by the envelope theorem this is
+    just grad(Phi) at the minimising point — no differentiation through the
+    iteration is needed).
+    """
+    c2 = jnp.array([1.0, 0.0, 0.0], dtype=p.dtype)
+    rad = 1.0 - xl1_val  # enclosing sphere radius (lobe max extent, to L1)
+
+    w = c2 - p
+    tstar = jnp.dot(w, e)                       # closest approach parameter
+    d2 = jnp.dot(w, w) - tstar * tstar          # squared miss distance
+    disc = rad * rad - d2
+    half = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_lo = jnp.maximum(tstar - half, 0.0)
+    t_hi = jnp.maximum(tstar + half, 0.0)
+    # No occultation possible if the ray misses the donor sphere entirely
+    # (the potential elsewhere can sit below Phi_L1 in the *primary's* well,
+    # so evaluating it there would false-trigger), or if the sphere lies
+    # entirely behind the start point.
+    no_occ = (disc <= 0.0) | (tstar + half <= 1e-9)
+
+    def g(t):
+        return roche_potential(q, p + t * e)
+
+    # --- coarse grid scan ---------------------------------------------
+    frac = jnp.linspace(0.0, 1.0, _CLEAR_GRID, dtype=p.dtype)
+    ts = t_lo + (t_hi - t_lo) * frac
+    vals = jax.vmap(g)(ts)
+    k = jnp.argmin(vals)
+    t0 = ts[k]
+    h = (t_hi - t_lo) / (_CLEAR_GRID - 1)
+    lo = jnp.maximum(t0 - h, t_lo)
+    hi = jnp.minimum(t0 + h, t_hi)
+
+    # --- Newton polish (clamped to the bracket) ------------------------
+    def newton(_, t):
+        g1, g2 = jax.jvp(jax.grad(g), (t,), (jnp.ones_like(t),))
+        step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
+        return jnp.clip(t - step, lo, hi)
+
+    t_min = jax.lax.fori_loop(0, _CLEAR_NEWTON, newton, t0)
+    clear = jnp.where(no_occ, _CLEAR_VISIBLE, g(t_min) - phi_l1)
+    if not with_grad:
+        return clear
+    grad_p = jax.grad(lambda pp: roche_potential(q, pp))(p + t_min * e)
+    return clear, grad_p
+
+
+def blink(q, p, e, xl1_val=None, phi_l1=None):
+    """True where point ``p`` is *visible* (not occulted by the donor lobe).
+
+    NB: the reference's ``Roche::blink`` returns "is eclipsed" [R]; we return
+    visibility because that is what the flux kernels multiply by.
+    """
+    if xl1_val is None:
+        xl1_val = xl1(q)
+    if phi_l1 is None:
+        phi_l1 = l1_potential(q, xl1_val)
+    return ray_clearance(q, p, e, xl1_val, phi_l1) >= 0.0
+
+
+def findi(q, dphi, xl1_val=None, phi_l1=None):
+    """Inclination (deg) for eclipse phase full-width ``dphi`` of the origin.
+
+    By definition the white-dwarf centre crosses the shadow edge exactly at
+    phase +/- dphi/2, i.e. clearance(origin, e(dphi/2, i)) = 0. Clearance is
+    monotone decreasing in i, so a single fixed-iteration bisection solves it
+    (the reference's ``Roche::findi`` nests two root finds [R]; this is the
+    same solution computed directly).  Returns NaN when even i = 90 deg gives
+    no eclipse that wide (caller converts to a -inf prior).
+    """
+    if xl1_val is None:
+        xl1_val = xl1(q)
+    if phi_l1 is None:
+        phi_l1 = l1_potential(q, xl1_val)
+    origin = jnp.zeros(3, dtype=jnp.result_type(q, dphi, float))
+
+    def clear_at(i_deg):
+        e = earth_vector(0.5 * dphi, i_deg)
+        return ray_clearance(q, origin, e, xl1_val, phi_l1)
+
+    lo = jnp.asarray(1.0, origin.dtype)
+    hi = jnp.asarray(90.0, origin.dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        c = clear_at(mid)
+        lo = jnp.where(c > 0.0, mid, lo)   # not yet eclipsed -> need higher i
+        hi = jnp.where(c > 0.0, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _FINDI_ITERS, body, (lo, hi))
+    i_sol = 0.5 * (lo + hi)
+    feasible = clear_at(jnp.asarray(90.0, origin.dtype)) <= 0.0
+    return jnp.where(feasible, i_sol, jnp.nan)
+
+
+def eclipse_half_width(q, incl_deg, p=None, xl1_val=None, phi_l1=None):
+    """Phase at which point ``p`` (default: origin) crosses the shadow edge.
+
+    Inverse companion to :func:`findi` (reference ``Roche::findphi`` /
+    ``ingress_egress`` [R]). Returns NaN if ``p`` is never eclipsed at this
+    inclination. Fixed-iteration bisection on phase in (0, 0.25).
+    """
+    if xl1_val is None:
+        xl1_val = xl1(q)
+    if phi_l1 is None:
+        phi_l1 = l1_potential(q, xl1_val)
+    if p is None:
+        p = jnp.zeros(3, dtype=jnp.result_type(q, incl_deg, float))
+
+    def clear_at(phase):
+        return ray_clearance(q, p, earth_vector(phase, incl_deg), xl1_val, phi_l1)
+
+    lo = jnp.asarray(0.0, p.dtype)
+    hi = jnp.asarray(0.25, p.dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        c = clear_at(mid)
+        lo = jnp.where(c < 0.0, mid, lo)   # still eclipsed -> edge is later
+        hi = jnp.where(c < 0.0, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _PHASE_ITERS, body, (lo, hi))
+    eclipsed_at_0 = clear_at(jnp.asarray(0.0, p.dtype)) < 0.0
+    return jnp.where(eclipsed_at_0, 0.5 * (lo + hi), jnp.nan)
+
+
+def lobe_radius(q, direction, xl1_val=None, phi_l1=None):
+    """Roche-lobe surface radius from the *donor centre* along ``direction``.
+
+    Solves Phi(c2 + r*d) = Phi_L1 for r in (0, 1 - xl1] by fixed-iteration
+    bisection; ``direction`` is a unit 3-vector (donor-centred). Used to tile
+    the donor surface (reference: trm-roche ``Roche::face``/``ref_sphere``
+    [R]). Scalar in ``direction``: vmap for grids.
+    """
+    if xl1_val is None:
+        xl1_val = xl1(q)
+    if phi_l1 is None:
+        phi_l1 = l1_potential(q, xl1_val)
+    c2 = jnp.array([1.0, 0.0, 0.0], dtype=direction.dtype)
+    rmax = 1.0 - xl1_val
+
+    def f(r):
+        return roche_potential(q, c2 + r * direction) - phi_l1
+
+    lo = jnp.asarray(1e-6, direction.dtype) * rmax
+    hi = jnp.asarray(rmax, direction.dtype)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        inside = f(mid) < 0.0           # potential below L1 -> inside lobe
+        lo = jnp.where(inside, mid, lo)
+        hi = jnp.where(inside, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _LOBE_ITERS, body, (lo, hi))
+    return 0.5 * (lo + hi)
