@@ -22,7 +22,7 @@ from .geometry import roche_potential, xl1
 
 __all__ = ["stream_trajectory", "spot_position"]
 
-_N_STEPS = 3000
+_N_STEPS = 6000
 _DT = 8e-4
 _V0 = 1e-3  # initial speed towards the primary, in units of a*w
 
