@@ -1,0 +1,283 @@
+"""The four CV flux components (L1), as pure vmappable JAX functions.
+
+Reference: the compiled ``lfit`` C++ core — ``whitedwarf.cpp``, ``disc.cpp``,
+``bright_spot.cpp``, ``donor.cpp`` (SURVEY.md §2, all [R]).  The reference
+iterates scalar C++ loops over surface elements per phase; here each
+component is expressed as a dense (phases x elements) computation so XLA/
+Pallas can batch it over walkers and fuse the element reduction.
+
+Every ``*_flux`` function returns the *normalised* light curve of one
+component (out-of-eclipse level == 1 by the conventions documented on each
+function), to be scaled by its flux parameter (wdFlux, dFlux, sFlux, rsFlux)
+by the CV orchestrator in ``models/cv.py``.
+
+Geometry arguments (``xl1_val``, ``phi_l1``, inclination) are precomputed
+once per parameter vector by the orchestrator — the TPU replacement for the
+reference's geometry cache keyed on (q, dphi, rwd) (SURVEY.md §2 "CV
+orchestrator"): instead of caching across sequential calls, the geometry is
+computed once per walker and broadcast across all phases/elements inside a
+single fused program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..roche.geometry import earth_vector, lobe_radius, ray_clearance, roche_potential
+from ..roche.stream import spot_position
+
+__all__ = [
+    "wd_visible_fraction",
+    "wd_flux",
+    "disc_elements",
+    "disc_flux",
+    "spot_elements",
+    "spot_flux",
+    "DonorGrid",
+    "donor_grid",
+    "donor_flux",
+]
+
+
+# ---------------------------------------------------------------------------
+# White dwarf
+# ---------------------------------------------------------------------------
+
+def _edge_visible_fraction(x, ulimb):
+    """Visible flux fraction of a linearly limb-darkened disc cut by a
+    straight shadow edge.
+
+    ``x`` is the signed distance of the disc centre from the edge in units
+    of the disc radius (+1: fully visible, -1: fully occulted).  Closed form:
+    with a = -x, the occulted region is {X < a} on the unit disc and
+
+      V(x) = (1-u) * (acos(a) - a sqrt(1-a^2))          [uniform part]
+             + u * (pi/2) * ((1-a) - (1-a^3)/3)          [sqrt(1-rho^2) part]
+      total = (1-u) pi + u * 2pi/3
+
+    Reference computes the same geometry numerically inside
+    ``whitedwarf.cpp`` [R]; the straight-edge approximation is excellent
+    because r_wd << lobe curvature radius.
+    """
+    a = jnp.clip(-x, -1.0, 1.0)
+    uni = jnp.arccos(a) - a * jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
+    sq = 0.5 * jnp.pi * ((1.0 - a) - (1.0 - a**3) / 3.0)
+    total = (1.0 - ulimb) * jnp.pi + ulimb * 2.0 * jnp.pi / 3.0
+    return ((1.0 - ulimb) * uni + ulimb * sq) / total
+
+
+def wd_visible_fraction(q, incl_deg, phase, rwd, ulimb, xl1_val, phi_l1):
+    """Visible flux fraction of the white dwarf at one orbital phase.
+
+    Converts the smooth ray ``clearance`` of the WD centre into a signed
+    sky-plane distance from the shadow terminator (first-order: clearance /
+    |grad_perp Phi| at the minimising point, exact as rwd -> 0), then applies
+    the analytic straight-edge limb-darkened occultation fraction.
+
+    Replaces the reference's cached contact-phase + per-phase edge position
+    machinery (``whitedwarf.cpp`` [R]) with a per-phase closed form — no
+    root-finds over phase at all.  Scalar in ``phase``: vmap for curves.
+    """
+    e = earth_vector(phase, incl_deg)
+    p = jnp.zeros(3, dtype=e.dtype)
+    clear, grad = ray_clearance(q, p, e, xl1_val, phi_l1, with_grad=True)
+    # component of grad(Phi) perpendicular to the line of sight = rate of
+    # change of clearance per unit sky-plane displacement of the source
+    g_perp = grad - jnp.dot(grad, e) * e
+    g_norm = jnp.maximum(jnp.linalg.norm(g_perp), 1e-12)
+    d = clear / g_norm                      # signed sky distance to the edge
+    # Far from the shadow (incl. the "ray misses the donor sphere" branch,
+    # where the gradient is evaluated at a meaningless point — possibly the
+    # singular origin itself) the WD is trivially fully visible. 0.25 in
+    # potential units is >> any r_wd * |grad|, so this never clips a real
+    # partial phase.
+    x = jnp.where(clear > 0.25, 1.0, jnp.clip(d / rwd, -1.0, 1.0))
+    return _edge_visible_fraction(x, ulimb)
+
+
+def wd_flux(q, incl_deg, phases, rwd, ulimb, xl1_val, phi_l1):
+    """Normalised WD light curve over ``phases`` (out of eclipse == 1)."""
+    return jax.vmap(
+        lambda ph: wd_visible_fraction(q, incl_deg, ph, rwd, ulimb, xl1_val, phi_l1)
+    )(phases)
+
+
+# ---------------------------------------------------------------------------
+# Accretion disc
+# ---------------------------------------------------------------------------
+
+def disc_elements(rwd, rdisc, dexp, n_rad=24, n_az=40, dtype=jnp.float64):
+    """Tile the disc annulus [rwd, rdisc] into n_rad x n_az elements.
+
+    Returns (positions (N,3) in the orbital plane, weights (N,) summing
+    to 1).  Surface brightness ~ r^(-dexp) with the annulus area Jacobian
+    r dr dphi (reference ``disc.cpp`` [R]: ~1000 elements).  The constant
+    cos(i) foreshortening of a flat disc is absorbed into dFlux.
+    """
+    # radial midpoints
+    edges = jnp.linspace(0.0, 1.0, n_rad + 1, dtype=dtype)
+    rmid = rwd + (rdisc - rwd) * 0.5 * (edges[:-1] + edges[1:])
+    dr = (rdisc - rwd) / n_rad
+    az = (jnp.arange(n_az, dtype=dtype) + 0.5) * (2.0 * jnp.pi / n_az)
+    r = jnp.repeat(rmid, n_az)
+    a = jnp.tile(az, n_rad)
+    pos = jnp.stack([r * jnp.cos(a), r * jnp.sin(a), jnp.zeros_like(r)], axis=-1)
+    w = jnp.repeat(rmid ** (1.0 - dexp) * dr, n_az)
+    w = w / jnp.sum(w)
+    return pos, w
+
+
+def disc_flux(q, incl_deg, phases, positions, weights, xl1_val, phi_l1):
+    """Normalised disc light curve: sum of element weights visible per phase.
+
+    ``phases`` (P,), ``positions`` (N,3), ``weights`` (N,) -> (P,).
+    """
+    e = earth_vector(phases, incl_deg)              # (P, 3)
+
+    def one_pair(pos, ee):
+        return ray_clearance(q, pos, ee, xl1_val, phi_l1) >= 0.0
+
+    vis = jax.vmap(                                  # over phases
+        lambda ee: jax.vmap(lambda pos: one_pair(pos, ee))(positions)
+    )(e)                                             # (P, N) bool
+    return vis.astype(weights.dtype) @ weights
+
+
+# ---------------------------------------------------------------------------
+# Bright spot
+# ---------------------------------------------------------------------------
+
+def spot_elements(q, rdisc, scale, az_deg, exp1, exp2, n_elem=32,
+                  max_extent=5.0, dtype=jnp.float64):
+    """Element positions and weights for the bright-spot strip.
+
+    The strip starts at the gas-stream / disc-rim impact point (ballistic
+    trajectory from L1, reference ``Roche::stream`` + ``bright_spot.cpp``
+    [R]) and extends along the in-plane direction at angle ``az_deg``
+    (degrees, measured from the line of centres towards +y).  The brightness
+    profile along the strip is
+
+        B(l) ~ (l/scale)^exp1 * exp(-(l/scale)^exp2)
+
+    (the reference's simple model fixes exp1 = 1, exp2 = 1; the complex
+    model frees both [R-med]).  Elements sample l in (0, max_extent*scale].
+    Weights are normalised to sum to 1.
+    """
+    impact = spot_position(q, rdisc)
+    azr = jnp.deg2rad(jnp.asarray(az_deg, dtype))
+    tdir = jnp.array([jnp.cos(azr), jnp.sin(azr), 0.0], dtype=dtype)
+    l = (jnp.arange(n_elem, dtype=dtype) + 0.5) / n_elem * max_extent * scale
+    pos = impact[None, :].astype(dtype) + l[:, None] * tdir[None, :]
+    x = l / scale
+    w = x ** exp1 * jnp.exp(-(x ** exp2))
+    w = w / jnp.maximum(jnp.sum(w), 1e-300)
+    return pos, w
+
+
+def spot_normal(az_deg, tilt_deg, yaw_deg, dtype=jnp.float64):
+    """Outward emission normal of the beamed bright-spot component.
+
+    Simple model: tilt = 90 (normal in the orbital plane), yaw = 0, i.e.
+    the normal is the strip direction rotated -90 deg in the plane:
+    n = (sin az, -cos az, 0). The complex model rotates it by ``yaw`` in the
+    plane and tips it by ``tilt`` out of the plane (tilt = 0: face-on +z).
+    Convention documented here is definitional for this framework (exact
+    reference convention unavailable, SURVEY.md provenance warning).
+    """
+    azr = jnp.deg2rad(jnp.asarray(az_deg, dtype))
+    tr = jnp.deg2rad(jnp.asarray(tilt_deg, dtype))
+    yr = jnp.deg2rad(jnp.asarray(yaw_deg, dtype))
+    psi = azr - 0.5 * jnp.pi + yr
+    return jnp.array(
+        [jnp.sin(tr) * jnp.cos(psi), jnp.sin(tr) * jnp.sin(psi), jnp.cos(tr)],
+        dtype=dtype,
+    )
+
+
+def spot_flux(q, incl_deg, phases, positions, weights, fis, normal,
+              xl1_val, phi_l1):
+    """Normalised bright-spot light curve.
+
+    Per element and phase: visibility (blink) times the emission factor
+      fis + (1 - fis) * max(0, n . e(phase))
+    so the curve peaks at 1 when the beamed lobe faces the observer and the
+    spot is unocculted (sFlux == maximum possible spot flux).  Reference:
+    ``bright_spot.cpp`` [R] with isotropic fraction ``fis``.
+    """
+    e = earth_vector(phases, incl_deg)               # (P, 3)
+    beam = jnp.maximum(e @ normal, 0.0)              # (P,)
+    factor = fis + (1.0 - fis) * beam                # (P,)
+
+    vis = jax.vmap(
+        lambda ee: jax.vmap(
+            lambda pos: ray_clearance(q, pos, ee, xl1_val, phi_l1) >= 0.0
+        )(positions)
+    )(e)                                             # (P, N)
+    return (vis.astype(weights.dtype) @ weights) * factor
+
+
+# ---------------------------------------------------------------------------
+# Donor star
+# ---------------------------------------------------------------------------
+
+class DonorGrid(NamedTuple):
+    positions: jax.Array   # (N, 3) element centres (binary frame)
+    normals: jax.Array     # (N, 3) outward surface normals
+    areas: jax.Array       # (N,)  element areas
+
+
+def donor_grid(q, xl1_val, phi_l1, n_lat=16, n_lon=24, dtype=jnp.float64):
+    """Tile the Roche-lobe-filling donor surface (reference ``donor.cpp`` +
+    trm-roche ``Roche::face`` [R], ~400 elements).
+
+    Directions from the donor centre on a (lat x lon) spherical grid; the
+    surface radius along each direction solves Phi = Phi_L1 (fixed-iteration
+    bisection), the outward normal is grad(Phi)/|grad(Phi)| and the area
+    element r^2 dOmega / (d_hat . n_hat).  The grid is offset off the poles
+    and off the exact L1 axis (where grad(Phi) -> 0).
+    """
+    th = (jnp.arange(n_lat, dtype=dtype) + 0.5) / n_lat * jnp.pi      # polar
+    phl = (jnp.arange(n_lon, dtype=dtype) + 0.5) / n_lon * 2.0 * jnp.pi
+    TH, PH = jnp.meshgrid(th, phl, indexing="ij")
+    dirs = jnp.stack(
+        [jnp.sin(TH) * jnp.cos(PH), jnp.sin(TH) * jnp.sin(PH), jnp.cos(TH)],
+        axis=-1,
+    ).reshape(-1, 3)                                                   # (N,3)
+    d_omega = (
+        (jnp.pi / n_lat) * (2.0 * jnp.pi / n_lon) * jnp.sin(TH)
+    ).reshape(-1)
+
+    c2 = jnp.array([1.0, 0.0, 0.0], dtype=dtype)
+
+    def one(d):
+        r = lobe_radius(q, d, xl1_val, phi_l1)
+        pos = c2 + r * d
+        g = jax.grad(lambda p: roche_potential(q, p))(pos)
+        n = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+        return pos, n, r
+
+    pos, nrm, r = jax.vmap(one)(dirs)
+    mu_dn = jnp.maximum(jnp.sum(dirs * nrm, axis=-1), 1e-3)
+    areas = r * r * d_omega / mu_dn
+    return DonorGrid(pos, nrm, areas)
+
+
+def donor_flux(incl_deg, phases, grid: DonorGrid, ulimb_donor=0.9):
+    """Donor light curve, *unnormalised* (the CV orchestrator normalises to
+    the flux at quadrature so rsFlux == donor flux at phase 0.25).
+
+    Lambertian + linear limb darkening: per element, area * mu * I(mu) for
+    mu = n . e(phase) > 0.  Self-occultation by the lobe's own horizon is
+    exactly the mu > 0 cut (the lobe is star-convex from the donor centre to
+    good approximation); occultation of the donor by disc/WD is negligible
+    and ignored, as in the reference [R].  Ellipsoidal modulation arises
+    naturally from the tile geometry.
+    """
+    e = earth_vector(phases, incl_deg)               # (P, 3)
+    mu = e @ grid.normals.T                          # (P, N)
+    mu = jnp.maximum(mu, 0.0)
+    intens = 1.0 - ulimb_donor * (1.0 - mu)
+    return (mu * intens) @ grid.areas

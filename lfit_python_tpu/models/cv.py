@@ -1,0 +1,167 @@
+"""CV forward-model orchestrator (L2): parameter vector -> light curve.
+
+Reference: ``lfit`` ``cv.cpp`` ``CV::calcFlux`` + the Cython binding
+``lfit.pyx`` exposing ``cv.calcFlux(pars, phase, width)`` and the component
+curves ``ywd/ydisc/yspot/ysec`` (SURVEY.md §2 "CV orchestrator", "Cython
+binding" [R]).
+
+Parameter vector convention (documented here as the framework's canonical
+order; the reference's exact order is [R-med], SURVEY.md §3.2):
+
+  simple (14):
+    0 wdFlux   white-dwarf flux (out of eclipse)
+    1 dFlux    disc flux (fully visible)
+    2 sFlux    bright-spot peak flux
+    3 rsFlux   donor flux at quadrature (phase 0.25)
+    4 q        mass ratio M_donor / M_wd
+    5 dphi     WD-centre eclipse phase full-width
+    6 rdisc    disc outer radius, in units of xl1(q)
+    7 ulimb    WD linear limb-darkening coefficient
+    8 rwd      WD radius, in units of the separation a
+    9 scale    bright-spot brightness-profile scale length (units of a)
+   10 az       bright-spot strip azimuth (degrees from the line of centres)
+   11 fis     isotropic fraction of the bright-spot emission
+   12 dexp    disc surface-brightness power-law exponent (B ~ r^-dexp)
+   13 phi0    phase offset of mid-eclipse
+
+  complex (18): simple + exp1, exp2 (spot profile exponents),
+    tilt, yaw (degrees; spot emission-normal orientation).
+
+The reference's geometry *cache* (recompute i, contact phases, element
+grids only when (q, dphi, rwd, ...) change — ``CV::set_parameters`` [R])
+does not translate to a traced program; instead all geometry is recomputed
+per call, once per walker, and amortised over all phases/elements inside
+one fused XLA program — cheap relative to the (phases x elements) blink
+sweep and fully batchable with vmap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..roche.geometry import findi, l1_potential, xl1
+from . import components as comp
+
+__all__ = [
+    "SIMPLE_PARAM_NAMES",
+    "COMPLEX_PARAM_NAMES",
+    "CVConfig",
+    "CVFluxes",
+    "cv_fluxes",
+    "cv_total_flux",
+]
+
+SIMPLE_PARAM_NAMES = (
+    "wdFlux", "dFlux", "sFlux", "rsFlux", "q", "dphi", "rdisc",
+    "ulimb", "rwd", "scale", "az", "fis", "dexp", "phi0",
+)
+COMPLEX_PARAM_NAMES = SIMPLE_PARAM_NAMES + ("exp1", "exp2", "tilt", "yaw")
+
+
+class CVConfig(NamedTuple):
+    """Static (trace-time) resolution knobs of the CV model."""
+    complex_spot: bool = False
+    n_disc_rad: int = 24
+    n_disc_az: int = 40
+    n_spot: int = 32
+    n_donor_lat: int = 16
+    n_donor_lon: int = 24
+    n_exposure_sub: int = 3      # finite-exposure phase subsamples
+    ulimb_donor: float = 0.9
+
+
+class CVFluxes(NamedTuple):
+    """Per-component and total model fluxes over the phase grid.
+
+    Mirrors the reference binding's ``ywd/ydisc/yspot/ysec`` attributes
+    (``lfit.pyx`` [R]).
+    """
+    total: jax.Array
+    ywd: jax.Array
+    ydisc: jax.Array
+    yspot: jax.Array
+    ysec: jax.Array
+
+
+def _expand_exposure(phases, widths, n_sub):
+    """Subdivide each exposure into n_sub sub-phases (reference: finite
+    exposure smearing in ``CV::calcFlux`` [R]). (P,) -> (P*n_sub,)."""
+    offs = (jnp.arange(n_sub, dtype=phases.dtype) + 0.5) / n_sub - 0.5
+    sub = phases[:, None] + widths[:, None] * offs[None, :]
+    return sub.reshape(-1)
+
+
+def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig()):
+    """Evaluate the four-component CV model over a phase grid.
+
+    ``pars``: (14,) or (18,) parameter vector (see module docstring);
+    ``phases``: (P,) orbital phases; ``widths``: (P,) exposure phase widths
+    (None -> instantaneous). Returns :class:`CVFluxes` of (P,) arrays.
+
+    Pure and jit/vmap-safe: batch over walkers with ``jax.vmap`` on ``pars``.
+    Invalid geometry (non-eclipsing dphi for any inclination) yields NaNs,
+    which the prior layer screens out *before* proposals are accepted.
+    """
+    pars = jnp.asarray(pars)
+    dtype = pars.dtype
+    (wdF, dF, sF, rsF, q, dphi, rdisc_x, ulimb, rwd, scale, az, fis,
+     dexp, phi0) = (pars[i] for i in range(14))
+    if config.complex_spot:
+        exp1, exp2, tilt, yaw = pars[14], pars[15], pars[16], pars[17]
+    else:
+        exp1 = jnp.asarray(1.0, dtype)
+        exp2 = jnp.asarray(1.0, dtype)
+        tilt = jnp.asarray(90.0, dtype)
+        yaw = jnp.asarray(0.0, dtype)
+
+    # ---- per-walker geometry (the reference's "geometry cache" work) ----
+    x1 = xl1(q)
+    pl1 = l1_potential(q, x1)
+    incl = findi(q, dphi, x1, pl1)
+    rdisc = rdisc_x * x1
+
+    disc_pos, disc_w = comp.disc_elements(
+        rwd, rdisc, dexp, config.n_disc_rad, config.n_disc_az, dtype)
+    spot_pos, spot_w = comp.spot_elements(
+        q, rdisc, scale, az, exp1, exp2, config.n_spot, dtype=dtype)
+    normal = comp.spot_normal(az, tilt, yaw, dtype)
+    dgrid = comp.donor_grid(
+        q, x1, pl1, config.n_donor_lat, config.n_donor_lon, dtype)
+
+    # ---- phase grid with finite-exposure smearing -----------------------
+    phases = jnp.asarray(phases, dtype)
+    ph = phases - phi0
+    if widths is not None:
+        sub = _expand_exposure(ph, jnp.asarray(widths, dtype),
+                               config.n_exposure_sub)
+        n_sub = config.n_exposure_sub
+    else:
+        sub = ph
+        n_sub = 1
+
+    def mean_over_sub(y):
+        return y.reshape(-1, n_sub).mean(axis=1) if n_sub > 1 else y
+
+    # ---- components ------------------------------------------------------
+    ywd = wdF * mean_over_sub(
+        comp.wd_flux(q, incl, sub, rwd, ulimb, x1, pl1))
+    ydisc = dF * mean_over_sub(
+        comp.disc_flux(q, incl, sub, disc_pos, disc_w, x1, pl1))
+    yspot = sF * mean_over_sub(
+        comp.spot_flux(q, incl, sub, spot_pos, spot_w, fis, normal, x1, pl1))
+
+    raw_sec = comp.donor_flux(incl, sub, dgrid, config.ulimb_donor)
+    quad = comp.donor_flux(
+        incl, jnp.asarray([0.25], dtype), dgrid, config.ulimb_donor)[0]
+    ysec = rsF * mean_over_sub(raw_sec / jnp.maximum(quad, 1e-30))
+
+    total = ywd + ydisc + yspot + ysec
+    return CVFluxes(total, ywd, ydisc, yspot, ysec)
+
+
+def cv_total_flux(pars, phases, widths=None, config: CVConfig = CVConfig()):
+    """Total model flux only (the likelihood hot path)."""
+    return cv_fluxes(pars, phases, widths, config).total

@@ -1,0 +1,191 @@
+"""Component-level analytic tests (SURVEY.md §4 "Component tests")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfit_python_tpu.models import components as comp
+from lfit_python_tpu.models.cv import CVConfig, cv_fluxes
+from lfit_python_tpu.roche.geometry import eclipse_half_width, findi, l1_potential, xl1
+
+Q = 0.15
+DPHI = 0.04
+
+
+@pytest.fixture(scope="module")
+def geom():
+    x1 = xl1(Q)
+    pl1 = l1_potential(Q, x1)
+    incl = findi(Q, DPHI, x1, pl1)
+    return x1, pl1, incl
+
+
+class TestWhiteDwarf:
+    def test_edge_fraction_limits(self):
+        for u in (0.0, 0.3, 0.9):
+            assert float(comp._edge_visible_fraction(1.0, u)) == pytest.approx(1.0)
+            assert float(comp._edge_visible_fraction(-1.0, u)) == pytest.approx(0.0)
+            # edge through the centre: exactly half the flux (symmetry)
+            assert float(comp._edge_visible_fraction(0.0, u)) == pytest.approx(0.5)
+
+    def test_uniform_disc_chord_area(self):
+        # u = 0: fraction must equal the circular-segment area formula
+        x = 0.37
+        a = -x
+        seg = (np.arccos(a) - a * np.sqrt(1 - a * a)) / np.pi
+        assert float(comp._edge_visible_fraction(x, 0.0)) == pytest.approx(seg)
+
+    def test_lightcurve_shape(self, geom):
+        x1, pl1, incl = geom
+        phases = jnp.linspace(-0.1, 0.1, 201)
+        y = comp.wd_flux(Q, incl, phases, 0.01, 0.3, x1, pl1)
+        y = np.asarray(y)
+        assert y[0] == pytest.approx(1.0)
+        assert y[-1] == pytest.approx(1.0)
+        assert y[100] == pytest.approx(0.0, abs=1e-12)  # mid-eclipse: total
+        # half flux exactly when the centre crosses the edge (+- dphi/2)
+        mid = float(
+            comp.wd_visible_fraction(Q, incl, DPHI / 2, 0.01, 0.3, x1, pl1)
+        )
+        assert mid == pytest.approx(0.5, abs=0.01)
+        # smooth monotone ingress
+        ing = y[80:100]
+        assert np.all(np.diff(ing) <= 1e-12)
+
+    def test_ingress_duration_scales_with_rwd(self, geom):
+        # contact-to-contact duration ~ 2*rwd / sweep speed: doubling rwd
+        # should roughly double the ingress duration
+        x1, pl1, incl = geom
+        phases = jnp.linspace(-0.04, 0.0, 400)
+
+        def duration(rwd):
+            y = np.asarray(comp.wd_flux(Q, incl, phases, rwd, 0.3, x1, pl1))
+            inside = (y < 0.999) & (y > 0.001)
+            return inside.sum()
+
+        d1, d2 = duration(0.005), duration(0.01)
+        assert d2 == pytest.approx(2 * d1, rel=0.15)
+
+
+class TestDisc:
+    def test_weights_normalised_and_powerlaw(self):
+        pos, w = comp.disc_elements(0.01, 0.3, dexp=1.0)
+        assert float(jnp.sum(w)) == pytest.approx(1.0)
+        r = np.linalg.norm(np.asarray(pos), axis=1)
+        assert r.min() > 0.01 and r.max() < 0.3
+
+    def test_unocculted_sums_to_one(self, geom):
+        x1, pl1, incl = geom
+        pos, w = comp.disc_elements(0.01, 0.3, 1.5)
+        y = comp.disc_flux(Q, incl, jnp.asarray([0.25, 0.6]), pos, w, x1, pl1)
+        np.testing.assert_allclose(np.asarray(y), 1.0)
+
+    def test_fully_eclipsed_at_conjunction(self, geom):
+        x1, pl1, incl = geom
+        # a small disc is completely inside the shadow at phase 0
+        pos, w = comp.disc_elements(0.01, 0.1, 1.5)
+        y = comp.disc_flux(Q, incl, jnp.asarray([0.0]), pos, w, x1, pl1)
+        assert float(y[0]) == pytest.approx(0.0, abs=1e-12)
+
+
+class TestSpot:
+    def test_profile_peak_and_normalisation(self):
+        pos, w = comp.spot_elements(Q, 0.3, 0.02, 120.0, 1.0, 1.0)
+        assert float(jnp.sum(w)) == pytest.approx(1.0)
+        # spot strip starts at the stream impact point at |r| = rdisc
+        assert float(jnp.linalg.norm(pos[0])) == pytest.approx(0.3, abs=0.01)
+
+    def test_hump_precedes_eclipse(self, geom):
+        x1, pl1, incl = geom
+        pos, w = comp.spot_elements(Q, 0.3, 0.02, 160.0, 1.0, 1.0)
+        nrm = comp.spot_normal(160.0, 90.0, 0.0)
+        phases = jnp.linspace(-0.5, 0.5, 101)
+        y = np.asarray(
+            comp.spot_flux(Q, incl, phases, pos, w, 0.2, nrm, x1, pl1)
+        )
+        peak_phase = float(phases[np.argmax(y)])
+        assert -0.35 < peak_phase < 0.0    # orbital hump before eclipse
+        assert y[50] < 0.3                 # spot eclipsed near phase 0
+
+
+class TestDonor:
+    def test_quadrature_symmetry_and_ellipsoidal(self, geom):
+        x1, pl1, incl = geom
+        grid = comp.donor_grid(Q, x1, pl1)
+        ph = jnp.asarray([0.0, 0.25, 0.5, 0.75])
+        y = np.asarray(comp.donor_flux(incl, ph, grid))
+        assert y[1] == pytest.approx(y[3], rel=1e-10)   # quadrature symmetry
+        assert y[1] > y[0] and y[1] > y[2]              # ellipsoidal maxima
+
+    def test_areas_positive_total_reasonable(self, geom):
+        x1, pl1, incl = geom
+        grid = comp.donor_grid(Q, x1, pl1)
+        a = np.asarray(grid.areas)
+        assert (a > 0).all()
+        # total lobe area within a factor ~2 of the Eggleton-sphere area
+        from numpy import log
+        q = Q
+        r_egg = 0.49 * q ** (2 / 3) / (0.6 * q ** (2 / 3) + log(1 + q ** (1 / 3)))
+        sphere = 4 * np.pi * r_egg ** 2
+        assert 0.5 * sphere < a.sum() < 2.0 * sphere
+
+
+class TestCVOrchestrator:
+    PARS = np.array(
+        [0.1, 0.05, 0.08, 0.03, Q, DPHI, 0.44, 0.3, 0.01,
+         0.02, 160.0, 0.2, 1.5, 0.0]
+    )
+
+    def test_total_is_sum_of_components(self):
+        phases = jnp.linspace(-0.2, 0.2, 81)
+        out = cv_fluxes(jnp.asarray(self.PARS), phases)
+        np.testing.assert_allclose(
+            np.asarray(out.total),
+            np.asarray(out.ywd + out.ydisc + out.yspot + out.ysec),
+            rtol=1e-12,
+        )
+        assert np.isfinite(np.asarray(out.total)).all()
+
+    def test_out_of_eclipse_levels(self):
+        out = cv_fluxes(jnp.asarray(self.PARS), jnp.asarray([0.25]))
+        assert float(out.ywd[0]) == pytest.approx(self.PARS[0])
+        assert float(out.ydisc[0]) == pytest.approx(self.PARS[1])
+        assert float(out.ysec[0]) == pytest.approx(self.PARS[3])
+
+    def test_eclipse_depth(self):
+        out = cv_fluxes(jnp.asarray(self.PARS), jnp.asarray([0.0, 0.25]))
+        assert float(out.total[0]) < float(out.total[1])
+        assert float(out.ywd[0]) == pytest.approx(0.0, abs=1e-12)
+
+    def test_phi0_shifts_curve(self):
+        p2 = self.PARS.copy()
+        p2[13] = 0.01
+        ph = jnp.linspace(-0.05, 0.05, 41)
+        a = cv_fluxes(jnp.asarray(self.PARS), ph).total
+        b = cv_fluxes(jnp.asarray(p2), ph + 0.01).total
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+    def test_exposure_smearing_softens(self):
+        ph = jnp.linspace(-0.03, 0.03, 61)
+        w = jnp.full_like(ph, 0.002)
+        sharp = cv_fluxes(jnp.asarray(self.PARS), ph).total
+        smear = cv_fluxes(jnp.asarray(self.PARS), ph, w,
+                          CVConfig(n_exposure_sub=5)).total
+        # smearing reduces the max |gradient| of the curve
+        g1 = np.abs(np.diff(np.asarray(sharp))).max()
+        g2 = np.abs(np.diff(np.asarray(smear))).max()
+        assert g2 < g1
+
+    def test_vmap_over_walkers(self):
+        pars = jnp.asarray(np.stack([self.PARS, self.PARS * 1.01]))
+        ph = jnp.linspace(-0.1, 0.1, 21)
+        tot = jax.vmap(lambda p: cv_fluxes(p, ph).total)(pars)
+        assert tot.shape == (2, 21)
+        assert np.isfinite(np.asarray(tot)).all()
+
+    def test_complex_spot_runs(self):
+        pars = np.concatenate([self.PARS, [2.0, 1.5, 80.0, 10.0]])
+        out = cv_fluxes(jnp.asarray(pars), jnp.linspace(-0.1, 0.1, 21),
+                        config=CVConfig(complex_spot=True))
+        assert np.isfinite(np.asarray(out.total)).all()
