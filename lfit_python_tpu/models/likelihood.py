@@ -1,0 +1,140 @@
+"""Posterior evaluation: priors + physical validity + per-eclipse likelihood.
+
+Reference call stack: ``Model.ln_prob -> ln_prior -> ln_like`` walking the
+node tree per walker per step across a multiprocessing Pool (SURVEY.md §3.1).
+Here the whole thing is one pure function of the sampled vector, vmapped
+over walkers — the entire ensemble's posterior evaluates as a single XLA
+program on device (BASELINE.json north_star).
+
+Physical-validity priors (reference ``CVModel.py`` via ``trm.roche`` [R]):
+  * (q, dphi) must admit an eclipse at some inclination <= 90 deg;
+  * the white dwarf must fit inside the disc: rwd < rdisc;
+  * the gas stream must actually reach the disc rim so the bright spot
+    lies on the disc (rwd < r_spot <= rdisc).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..roche.geometry import findi, l1_potential, xl1
+from ..roche.stream import spot_position
+from .cv import CVConfig, cv_total_flux
+from .priors import ln_prior_table
+from .tree import CompiledModel
+
+__all__ = ["PosteriorData", "make_ln_prob", "make_ln_prob_parts"]
+
+
+class PosteriorData(NamedTuple):
+    """Device-resident stacked data for all eclipses."""
+    phase: jax.Array   # (E, P)
+    flux: jax.Array    # (E, P)
+    err: jax.Array     # (E, P)
+    width: jax.Array   # (E, P)
+    mask: jax.Array    # (E, P) bool
+    cv_idx: jax.Array  # (E, 18)
+    cv_const: jax.Array
+    gp_idx: jax.Array  # (E, 3)
+    gp_mask: jax.Array  # (E,)
+
+
+def _to_device_data(model: CompiledModel, dtype) -> PosteriorData:
+    return PosteriorData(
+        phase=jnp.asarray(model.data_phase, dtype),
+        flux=jnp.asarray(model.data_flux, dtype),
+        err=jnp.asarray(model.data_err, dtype),
+        width=jnp.asarray(model.data_width, dtype),
+        mask=jnp.asarray(model.data_mask),
+        cv_idx=jnp.asarray(model.cv_idx),
+        cv_const=jnp.asarray(model.cv_const, dtype),
+        gp_idx=jnp.asarray(model.gp_idx),
+        gp_mask=jnp.asarray(model.gp_mask),
+    )
+
+
+def _ln_physical(cv_pars):
+    """0 where the geometry is physical, -inf otherwise (one eclipse)."""
+    q, dphi = cv_pars[4], cv_pars[5]
+    rdisc_x, rwd = cv_pars[6], cv_pars[8]
+    x1 = xl1(q)
+    pl1 = l1_potential(q, x1)
+    incl = findi(q, dphi, x1, pl1)
+    rdisc = rdisc_x * x1
+    spot = spot_position(q, rdisc)
+    spot_r = jnp.linalg.norm(spot)
+    ok = (
+        jnp.isfinite(incl)
+        & (rwd < rdisc)
+        & (spot_r <= rdisc * (1.0 + 1e-3))
+        & (spot_r > rwd)
+    )
+    return jnp.where(ok, 0.0, -jnp.inf)
+
+
+def _chi2_ln_like(model_flux, data: PosteriorData, k):
+    """Masked Gaussian ln-likelihood for eclipse k (chi^2 branch)."""
+    r = (data.flux[k] - model_flux) / data.err[k]
+    per = -0.5 * (r * r + jnp.log(2.0 * jnp.pi * data.err[k] ** 2))
+    return jnp.sum(jnp.where(data.mask[k], per, 0.0))
+
+
+def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
+                       dtype=jnp.float64, gp_ln_like=None):
+    """Build (ln_prior_fn, ln_like_fn, ln_prob_fn), each pure in the sampled
+    vector.  ``gp_ln_like(cv_pars, model_flux, gp_pars, data, k)`` overrides
+    the chi^2 branch for eclipses flagged use_gp (wired in ops/gp.py).
+    """
+    if config is None:
+        config = CVConfig(complex_spot=model.any_complex)
+    # the tree always emits 18-slot vectors -> evaluate the complex path
+    config = config._replace(complex_spot=True)
+    data = _to_device_data(model, dtype)
+    prior_table = model.prior_table
+    use_gp = model.gp_mask
+
+    def ln_prior(var_vec):
+        full = model.full_from_var(var_vec.astype(dtype))
+        lp = ln_prior_table(full, prior_table)
+        cvp = model.cv_params(full)
+        phys = jax.vmap(_ln_physical)(cvp)
+        return lp + jnp.sum(phys)
+
+    def ln_like(var_vec):
+        full = model.full_from_var(var_vec.astype(dtype))
+        cvp = model.cv_params(full)                      # (E, 18)
+
+        def one_ecl(k, pars):
+            mflux = cv_total_flux(pars, data.phase[k], data.width[k], config)
+            if gp_ln_like is None:
+                return _chi2_ln_like(mflux, data, k)
+            gp_pars = full[data.gp_idx[k]]
+            chi2_val = _chi2_ln_like(mflux, data, k)
+            gp_val = gp_ln_like(pars, mflux, gp_pars, data, k)
+            return jnp.where(use_gp[k], gp_val, chi2_val)
+
+        lls = jax.vmap(one_ecl)(jnp.arange(model.n_eclipses), cvp)
+        return jnp.sum(lls)
+
+    def ln_prob(var_vec):
+        lp = ln_prior(var_vec)
+        valid = jnp.isfinite(lp)
+        # evaluate the likelihood at the start vector for invalid walkers so
+        # no NaN is ever produced (the result is discarded via where)
+        safe = jnp.where(
+            valid, var_vec,
+            jnp.asarray(model.var_start(), var_vec.dtype))
+        ll = ln_like(safe)
+        return jnp.where(valid, lp + ll, -jnp.inf)
+
+    return ln_prior, ln_like, ln_prob
+
+
+def make_ln_prob(model: CompiledModel, config: CVConfig | None = None,
+                 dtype=jnp.float64, gp_ln_like=None):
+    """The posterior ln-probability function of the sampled vector."""
+    return make_ln_prob_parts(model, config, dtype, gp_ln_like)[2]

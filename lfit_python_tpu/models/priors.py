@@ -1,0 +1,119 @@
+"""Parameter and prior system (L4), vectorised.
+
+Reference: ``mcmc_utils.py`` ``Param``/``Prior`` [R-high] (SURVEY.md §2
+"Parameter/prior system") with the five prior families **gauss, gaussPos,
+uniform, log_uniform, mod_jeff**.  The reference evaluates ``ln_prob`` one
+scalar at a time per Python object; here priors compile to three arrays
+(type codes, p1, p2) so a whole parameter vector — and the whole walker
+ensemble via vmap — evaluates in one fused XLA op.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Prior", "Param", "PriorTable", "make_prior_table", "ln_prior_table"]
+
+_PRIOR_CODES = {
+    "uniform": 0,
+    "log_uniform": 1,
+    "gauss": 2,
+    "gaussPos": 3,
+    "mod_jeff": 4,
+}
+
+
+@dataclass(frozen=True)
+class Prior:
+    """A 2-parameter prior, reference-compatible spellings.
+
+    uniform(lo, hi); log_uniform(lo, hi); gauss(mean, sigma);
+    gaussPos(mean, sigma) [gaussian truncated at 0];
+    mod_jeff(knee, hi) [modified Jeffreys, p ~ 1/(x + knee), 0 <= x < hi].
+    """
+    type: str
+    p1: float
+    p2: float
+
+    def __post_init__(self):
+        if self.type not in _PRIOR_CODES:
+            raise ValueError(
+                f"unknown prior type {self.type!r}; "
+                f"expected one of {sorted(_PRIOR_CODES)}"
+            )
+
+    def ln_prob(self, val):
+        table = make_prior_table([Param("x", float(val), self, True)])
+        return ln_prior_table(jnp.asarray([val], jnp.float64), table)
+
+
+@dataclass(frozen=True)
+class Param:
+    """One named model parameter (reference ``mcmc_utils.Param`` [R])."""
+    name: str
+    start: float
+    prior: Prior
+    is_var: bool = True
+    # walker-ball scatter scale multiplier (reference comp_scat [R-med])
+    scatter: float = field(default=1.0, compare=False)
+
+
+@dataclass(frozen=True)
+class PriorTable:
+    """Vectorised prior spec for a flat parameter vector."""
+    codes: np.ndarray   # (D,) int32 prior-type codes
+    p1: np.ndarray      # (D,)
+    p2: np.ndarray      # (D,)
+
+
+def make_prior_table(params: Sequence[Param]) -> PriorTable:
+    return PriorTable(
+        codes=np.asarray([_PRIOR_CODES[p.prior.type] for p in params], np.int32),
+        p1=np.asarray([p.prior.p1 for p in params], np.float64),
+        p2=np.asarray([p.prior.p2 for p in params], np.float64),
+    )
+
+
+def ln_prior_table(vals, table: PriorTable):
+    """Sum of ln prior probabilities for one flat vector. vmap over walkers.
+
+    Out-of-support values yield -inf. All five families are computed
+    branch-free and selected by type code (one fused op for the ensemble).
+    """
+    v = jnp.asarray(vals)
+    codes = jnp.asarray(table.codes)
+    p1 = jnp.asarray(table.p1, v.dtype)
+    p2 = jnp.asarray(table.p2, v.dtype)
+    neg_inf = jnp.asarray(-jnp.inf, v.dtype)
+
+    # uniform(lo, hi)
+    ln_uni = jnp.where(
+        (v >= p1) & (v <= p2), -jnp.log(p2 - p1), neg_inf)
+    # log_uniform(lo, hi): p ~ 1/x on [lo, hi]
+    safe_v = jnp.maximum(v, 1e-300)
+    ln_logu = jnp.where(
+        (v >= p1) & (v <= p2),
+        -jnp.log(safe_v) - jnp.log(jnp.log(p2 / p1)),
+        neg_inf)
+    # gauss(mean, sigma)
+    ln_g = (-0.5 * ((v - p1) / p2) ** 2
+            - jnp.log(p2) - 0.5 * jnp.log(2.0 * jnp.pi))
+    # gaussPos: gaussian truncated to v >= 0 (renormalisation constant is
+    # parameter-independent given (p1, p2), included for correctness)
+    from jax.scipy.special import erf
+    z = p1 / (jnp.sqrt(2.0) * p2)
+    ln_norm_pos = jnp.log(0.5 * (1.0 + erf(z)))
+    ln_gp = jnp.where(v >= 0.0, ln_g - ln_norm_pos, neg_inf)
+    # mod_jeff(knee, hi): p ~ 1/(v + knee) on [0, hi)
+    ln_mj = jnp.where(
+        (v >= 0.0) & (v < p2),
+        -jnp.log(v + p1) - jnp.log(jnp.log((p2 + p1) / p1)),
+        neg_inf)
+
+    stacked = jnp.stack([ln_uni, ln_logu, ln_g, ln_gp, ln_mj], axis=0)
+    per_param = jnp.take_along_axis(stacked, codes[None, :], axis=0)[0]
+    return jnp.sum(per_param)

@@ -1,0 +1,241 @@
+"""Hierarchical (tree-structured) parameter model (L3).
+
+Reference: ``CVModel.py`` — ``Model`` node base, ``LCModel`` root, ``Band``,
+``SimpleEclipse``/``ComplexEclipse`` leaves, with label-suffixed parameter
+addressing (``q_core``, ``wdFlux_<band>``, ``rdisc_<ecl>``) and depth-first
+flat-vector get/set ``dynasty_par_vals``/``dynasty_par_names`` (SURVEY.md §2
+"Model tree framework", "CV model nodes" [R]).
+
+The reference walks a Python object tree per likelihood call; that is
+poison for a traced program.  Here the tree is *declarative*: it compiles
+once into numpy index maps (flat sampled vector -> full parameter vector ->
+per-eclipse 18-slot CV vectors), after which every likelihood evaluation is
+pure gathers — XLA-friendly and vmappable over walkers.
+
+Core params (shared by every eclipse):  q, dphi, rwd.
+Band params (shared per filter):        wdFlux, rsFlux, ulimb.
+Eclipse params:                         dFlux, sFlux, rdisc, scale, az,
+                                        fis, dexp, phi0
+                                        [+ exp1, exp2, tilt, yaw if complex]
+                                        [+ ln_ampin_gp, ln_ampout_gp,
+                                           ln_tau_gp if GP].
+
+Simple eclipses are evaluated through the same 18-slot CV vector with the
+neutral complex values (exp1 = 1, exp2 = 1, tilt = 90, yaw = 0) pinned as
+constants, so mixed simple/complex trees still evaluate as one uniform
+vmap over eclipses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .priors import Param, Prior, PriorTable, make_prior_table
+
+__all__ = [
+    "Lightcurve",
+    "EclipseSpec",
+    "HierarchicalModel",
+    "CompiledModel",
+    "CORE_NAMES",
+    "BAND_NAMES",
+    "ECLIPSE_NAMES",
+    "ECLIPSE_COMPLEX_NAMES",
+    "GP_NAMES",
+]
+
+CORE_NAMES = ("q", "dphi", "rwd")
+BAND_NAMES = ("wdFlux", "rsFlux", "ulimb")
+ECLIPSE_NAMES = ("dFlux", "sFlux", "rdisc", "scale", "az", "fis", "dexp", "phi0")
+ECLIPSE_COMPLEX_NAMES = ("exp1", "exp2", "tilt", "yaw")
+GP_NAMES = ("ln_ampin_gp", "ln_ampout_gp", "ln_tau_gp")
+
+# canonical CV 18-vector slot order (models/cv.py docstring)
+_CV_SLOTS = (
+    "wdFlux", "dFlux", "sFlux", "rsFlux", "q", "dphi", "rdisc", "ulimb",
+    "rwd", "scale", "az", "fis", "dexp", "phi0", "exp1", "exp2", "tilt", "yaw",
+)
+_NEUTRAL_COMPLEX = {"exp1": 1.0, "exp2": 1.0, "tilt": 90.0, "yaw": 0.0}
+
+
+@dataclass
+class Lightcurve:
+    """Observed eclipse light curve (reference ``Lightcurve`` container [R]).
+
+    Columns: phase, flux, flux error, and optionally exposure phase width.
+    """
+    phase: np.ndarray
+    flux: np.ndarray
+    err: np.ndarray
+    width: Optional[np.ndarray] = None
+    name: str = ""
+
+    @classmethod
+    def from_file(cls, path, name=None, trim=None):
+        """Load a 3- or 4-column whitespace text file (phase flux err
+        [width]); ``trim=(lo, hi)`` masks to a phase range (reference
+        ``Lightcurve.trim`` [R-med])."""
+        arr = np.loadtxt(path, dtype=np.float64)
+        if arr.ndim != 2 or arr.shape[1] < 3:
+            raise ValueError(f"{path}: expected >=3 columns (phase flux err)")
+        width = arr[:, 3] if arr.shape[1] > 3 else None
+        lc = cls(arr[:, 0], arr[:, 1], arr[:, 2], width,
+                 name or str(path))
+        if trim is not None:
+            m = (lc.phase >= trim[0]) & (lc.phase <= trim[1])
+            lc = cls(lc.phase[m], lc.flux[m], lc.err[m],
+                     None if width is None else lc.width[m], lc.name)
+        return lc
+
+    def __len__(self):
+        return len(self.phase)
+
+
+@dataclass
+class EclipseSpec:
+    """One eclipse leaf: its data, band, model flavour, and parameters."""
+    name: str
+    band: str
+    lightcurve: Lightcurve
+    params: Dict[str, Param]
+    complex_spot: bool = False
+    use_gp: bool = False
+
+
+@dataclass
+class HierarchicalModel:
+    """Declarative model tree; compile() produces the index maps."""
+    core: Dict[str, Param]
+    bands: Dict[str, Dict[str, Param]]
+    eclipses: List[EclipseSpec]
+
+    def compile(self) -> "CompiledModel":
+        return CompiledModel(self)
+
+
+@dataclass
+class CompiledModel:
+    """Flat-vector layout + gather maps for one hierarchical model.
+
+    Layout of the *full* vector (depth-first, reference
+    ``dynasty_par_vals`` order [R]): core, then each band, then each
+    eclipse (base + complex + gp params as applicable).
+
+    The *sampled* vector covers only is_var parameters;
+    ``full_from_var(v)`` scatters it into the full start template.
+    """
+    spec: HierarchicalModel = field(repr=False)
+
+    def __post_init__(self):
+        spec = self.spec
+        names: List[str] = []
+        params: List[Param] = []
+
+        def add(p: Param, label: str):
+            names.append(f"{p.name}_{label}")
+            params.append(p)
+
+        for n in CORE_NAMES:
+            add(spec.core[n], "core")
+        for bname, bp in spec.bands.items():
+            for n in BAND_NAMES:
+                add(bp[n], bname)
+        for ecl in spec.eclipses:
+            enames = ECLIPSE_NAMES + (
+                ECLIPSE_COMPLEX_NAMES if ecl.complex_spot else ()
+            ) + (GP_NAMES if ecl.use_gp else ())
+            for n in enames:
+                add(ecl.params[n], ecl.name)
+
+        self.param_names = names
+        self.params = params
+        self.full_start = np.asarray([p.start for p in params], np.float64)
+        self.var_mask = np.asarray([p.is_var for p in params], bool)
+        self.var_idx = np.nonzero(self.var_mask)[0].astype(np.int32)
+        self.n_var = int(self.var_mask.sum())
+        self.n_full = len(params)
+        self.scatter = np.asarray([p.scatter for p in params], np.float64)
+        self.prior_table: PriorTable = make_prior_table(params)
+
+        index = {n: i for i, n in enumerate(names)}
+
+        # per-eclipse CV gather: full[cv_idx] with constants where idx < 0
+        cv_idx = np.zeros((len(spec.eclipses), 18), np.int32)
+        cv_const = np.zeros((len(spec.eclipses), 18), np.float64)
+        gp_idx = np.zeros((len(spec.eclipses), 3), np.int32)
+        gp_mask = np.zeros(len(spec.eclipses), bool)
+        for k, ecl in enumerate(spec.eclipses):
+            for s, slot in enumerate(_CV_SLOTS):
+                if slot in CORE_NAMES:
+                    cv_idx[k, s] = index[f"{slot}_core"]
+                elif slot in BAND_NAMES:
+                    cv_idx[k, s] = index[f"{slot}_{ecl.band}"]
+                elif slot in _NEUTRAL_COMPLEX and not ecl.complex_spot:
+                    cv_idx[k, s] = -1
+                    cv_const[k, s] = _NEUTRAL_COMPLEX[slot]
+                else:
+                    cv_idx[k, s] = index[f"{slot}_{ecl.name}"]
+            if ecl.use_gp:
+                gp_mask[k] = True
+                for s, n in enumerate(GP_NAMES):
+                    gp_idx[k, s] = index[f"{n}_{ecl.name}"]
+        self.cv_idx = cv_idx
+        self.cv_const = cv_const
+        self.gp_idx = gp_idx
+        self.gp_mask = gp_mask
+
+        # stacked, padded data arrays (E, P_max) + mask
+        n_ecl = len(spec.eclipses)
+        pmax = max((len(e.lightcurve) for e in spec.eclipses), default=0)
+        self.n_eclipses = n_ecl
+        self.n_points_max = pmax
+        self.data_phase = np.zeros((n_ecl, pmax))
+        self.data_flux = np.zeros((n_ecl, pmax))
+        self.data_err = np.ones((n_ecl, pmax))
+        self.data_width = np.zeros((n_ecl, pmax))
+        self.data_mask = np.zeros((n_ecl, pmax), bool)
+        for k, ecl in enumerate(spec.eclipses):
+            lc = ecl.lightcurve
+            n = len(lc)
+            self.data_phase[k, :n] = lc.phase
+            # pad slot phases at a harmless out-of-eclipse value
+            self.data_phase[k, n:] = 0.25
+            self.data_flux[k, :n] = lc.flux
+            self.data_err[k, :n] = lc.err
+            if lc.width is not None:
+                self.data_width[k, :n] = lc.width
+            self.data_mask[k, :n] = True
+        self.any_complex = any(e.complex_spot for e in spec.eclipses)
+        self.any_gp = any(e.use_gp for e in spec.eclipses)
+
+    # ------------------------------------------------------------------
+    def full_from_var(self, var_vec):
+        """Scatter a sampled (n_var,) vector into the full template.
+        Works on numpy or jax arrays (returns the same flavour)."""
+        import jax.numpy as jnp
+
+        if isinstance(var_vec, np.ndarray):
+            full = self.full_start.copy()
+            full[self.var_idx] = var_vec
+            return full
+        full = jnp.asarray(self.full_start, var_vec.dtype)
+        return full.at[jnp.asarray(self.var_idx)].set(var_vec)
+
+    def var_start(self):
+        return self.full_start[self.var_idx].copy()
+
+    def var_names(self):
+        return [self.param_names[i] for i in self.var_idx]
+
+    def cv_params(self, full_vec):
+        """Per-eclipse 18-slot CV parameter matrix (E, 18) from a full
+        vector (gathers + pinned constants)."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(self.cv_idx)
+        const = jnp.asarray(self.cv_const, full_vec.dtype)
+        gathered = full_vec[jnp.clip(idx, 0, None)]
+        return jnp.where(idx >= 0, gathered, const)

@@ -1,0 +1,111 @@
+"""End-to-end integration: synthetic single-eclipse fit (BASELINE config 1).
+
+Generates a light curve from known parameters, builds the hierarchical
+model, and runs a short on-device MCMC — the miniature of the five
+BASELINE.json configs (SURVEY.md §4 "End-to-end")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfit_python_tpu.models.cv import CVConfig, cv_fluxes
+from lfit_python_tpu.models.likelihood import make_ln_prob_parts
+from lfit_python_tpu.models.tree import Lightcurve
+from lfit_python_tpu.sampling.ensemble import init_walkers, run_sampler
+
+from test_priors_tree import make_tiny_model
+
+
+TRUE = {
+    "wdFlux": 0.1, "dFlux": 0.05, "sFlux": 0.08, "rsFlux": 0.03,
+    "q": 0.15, "dphi": 0.04, "rdisc": 0.44, "ulimb": 0.3, "rwd": 0.01,
+    "scale": 0.02, "az": 160.0, "fis": 0.2, "dexp": 1.5, "phi0": 0.0,
+}
+
+
+def synth_lightcurve(seed=0, n=80, noise=0.002):
+    pars = jnp.asarray([
+        TRUE["wdFlux"], TRUE["dFlux"], TRUE["sFlux"], TRUE["rsFlux"],
+        TRUE["q"], TRUE["dphi"], TRUE["rdisc"], TRUE["ulimb"], TRUE["rwd"],
+        TRUE["scale"], TRUE["az"], TRUE["fis"], TRUE["dexp"], TRUE["phi0"],
+    ])
+    ph = np.linspace(-0.12, 0.12, n)
+    flux = np.asarray(cv_fluxes(pars, jnp.asarray(ph)).total)
+    rng = np.random.default_rng(seed)
+    return Lightcurve(ph, flux + noise * rng.standard_normal(n),
+                      np.full(n, noise), name="synth")
+
+
+@pytest.fixture(scope="module")
+def model_and_fns():
+    m = make_tiny_model(n_ecl=1, complex_flags=(False,), gp_flags=(False,))
+    m.eclipses[0].lightcurve = synth_lightcurve()
+    cm = m.compile()
+    ln_prior, ln_like, ln_prob = make_ln_prob_parts(cm)
+    return cm, ln_prior, ln_like, jax.jit(ln_prob)
+
+
+class TestPosterior:
+    def test_finite_at_truth(self, model_and_fns):
+        cm, _, _, ln_prob = model_and_fns
+        lp = float(ln_prob(jnp.asarray(cm.var_start())))
+        assert np.isfinite(lp)
+
+    def test_truth_beats_perturbed(self, model_and_fns):
+        cm, _, _, ln_prob = model_and_fns
+        v0 = cm.var_start()
+        lp0 = float(ln_prob(jnp.asarray(v0)))
+        v1 = v0.copy()
+        names = cm.var_names()
+        v1[names.index("q_core")] = 0.3          # wrong q
+        v1[names.index("dphi_core")] = 0.06      # wrong width
+        lp1 = float(ln_prob(jnp.asarray(v1)))
+        assert lp0 > lp1 + 100.0
+
+    def test_prior_rejects_unphysical(self, model_and_fns):
+        cm, ln_prior, _, _ = model_and_fns
+        names = cm.var_names()
+        # (q, dphi) pair no inclination <= 90 deg can produce: physical -inf
+        v = cm.var_start()
+        v[names.index("q_core")] = 0.031
+        v[names.index("dphi_core")] = 0.19
+        assert float(ln_prior(jnp.asarray(v))) == -np.inf
+        # white dwarf bigger than the disc: physical -inf.  q = 2.9 pulls
+        # xl1 down to ~0.38 so rdisc = 0.2001*xl1 ~ 0.077 < rwd = 0.099,
+        # while every box prior is still satisfied.
+        v2 = cm.var_start()
+        v2[names.index("q_core")] = 2.9
+        v2[names.index("rwd_core")] = 0.099
+        v2[names.index("rdisc_ecl0")] = 0.2001
+        assert float(ln_prior(jnp.asarray(v2))) == -np.inf
+
+    @pytest.mark.xfail(
+        reason="gradients through the fixed-iteration root-finds need "
+        "implicit-function-theorem custom_jvp rules (planned; not required "
+        "by the stretch-move sampler)", strict=False)
+    def test_gradient_exists(self, model_and_fns):
+        # not used by the stretch move, but the model should be
+        # differentiable for future HMC/NUTS support
+        cm, _, _, ln_prob = model_and_fns
+        g = jax.grad(lambda v: ln_prob(v))(jnp.asarray(cm.var_start()))
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestShortMCMC:
+    def test_sampler_moves_and_improves(self, model_and_fns):
+        cm, _, _, ln_prob = model_and_fns
+        start = jnp.asarray(cm.var_start())
+        scatter = 0.003 * jnp.maximum(jnp.abs(start), 0.01)
+        state = init_walkers(
+            jax.random.PRNGKey(42), start, scatter, ln_prob, 32)
+        lp_init_max = float(jnp.max(state.log_prob))
+        state, chain, chain_lp, acc = run_sampler(
+            state, ln_prob, 30, chunk_size=15)
+        assert chain.shape == (30, 32, cm.n_var)
+        assert np.isfinite(chain_lp).all()
+        assert 0.05 < acc.mean() <= 1.0
+        # walkers actually move, and the ensemble stays near the posterior
+        # mode (downhill accepts are legal, so no monotonicity assertion)
+        assert not np.array_equal(chain[0], chain[-1])
+        assert float(np.max(chain_lp)) > lp_init_max - 50.0

@@ -1,0 +1,185 @@
+"""Prior-family and hierarchical-tree tests (SURVEY.md §2 L3/L4 layers)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfit_python_tpu.models.priors import (
+    Param,
+    Prior,
+    ln_prior_table,
+    make_prior_table,
+)
+from lfit_python_tpu.models.tree import (
+    EclipseSpec,
+    HierarchicalModel,
+    Lightcurve,
+    CORE_NAMES,
+    BAND_NAMES,
+    ECLIPSE_NAMES,
+    GP_NAMES,
+)
+
+
+def _p(name, start, prior, is_var=True):
+    return Param(name, start, prior, is_var)
+
+
+class TestPriors:
+    def test_uniform(self):
+        pr = Prior("uniform", 0.0, 2.0)
+        assert float(pr.ln_prob(1.0)) == pytest.approx(np.log(0.5))
+        assert float(pr.ln_prob(3.0)) == -np.inf
+        assert float(pr.ln_prob(-0.1)) == -np.inf
+
+    def test_log_uniform(self):
+        pr = Prior("log_uniform", 0.1, 10.0)
+        # p(x) = 1/(x ln(hi/lo))
+        assert float(pr.ln_prob(1.0)) == pytest.approx(-np.log(np.log(100.0)))
+        assert float(pr.ln_prob(0.05)) == -np.inf
+
+    def test_gauss(self):
+        pr = Prior("gauss", 2.0, 0.5)
+        expected = -0.5 * np.log(2 * np.pi * 0.25)
+        assert float(pr.ln_prob(2.0)) == pytest.approx(expected)
+
+    def test_gauss_pos_truncates(self):
+        pr = Prior("gaussPos", 1.0, 2.0)
+        assert float(pr.ln_prob(-0.5)) == -np.inf
+        assert np.isfinite(float(pr.ln_prob(0.5)))
+        # integrates to 1 over [0, inf): check by coarse quadrature
+        xs = np.linspace(0, 30, 30001)
+        lp = np.array([float(pr.ln_prob(x)) for x in xs[:: 100]])
+        # just sanity: normalisation constant larger than untruncated
+        pr0 = Prior("gauss", 1.0, 2.0)
+        assert float(pr.ln_prob(1.0)) > float(pr0.ln_prob(1.0))
+
+    def test_mod_jeff(self):
+        pr = Prior("mod_jeff", 0.1, 10.0)
+        assert np.isfinite(float(pr.ln_prob(0.0)))
+        assert float(pr.ln_prob(10.5)) == -np.inf
+        # p ~ 1/(x+knee): ratio check
+        r = float(pr.ln_prob(0.0)) - float(pr.ln_prob(0.9))
+        assert r == pytest.approx(np.log((0.9 + 0.1) / 0.1))
+
+    def test_vectorised_sum(self):
+        params = [
+            _p("a", 1.0, Prior("uniform", 0, 2)),
+            _p("b", 2.0, Prior("gauss", 2.0, 0.5)),
+        ]
+        table = make_prior_table(params)
+        total = float(ln_prior_table(jnp.asarray([1.0, 2.0]), table))
+        expected = float(params[0].prior.ln_prob(1.0)) + float(
+            params[1].prior.ln_prob(2.0))
+        assert total == pytest.approx(expected)
+
+    def test_unknown_type_rejected(self):
+        with pytest.raises(ValueError):
+            Prior("lorentz", 0, 1)
+
+
+def make_tiny_model(n_ecl=2, complex_flags=(False, True), gp_flags=(False, False)):
+    rng = np.random.default_rng(0)
+    core = {
+        "q": _p("q", 0.15, Prior("uniform", 0.03, 3.0)),
+        "dphi": _p("dphi", 0.04, Prior("uniform", 0.01, 0.2)),
+        "rwd": _p("rwd", 0.01, Prior("uniform", 0.0005, 0.1)),
+    }
+    bands = {
+        "g": {
+            "wdFlux": _p("wdFlux", 0.1, Prior("uniform", 0, 1)),
+            "rsFlux": _p("rsFlux", 0.03, Prior("uniform", 0, 1)),
+            "ulimb": _p("ulimb", 0.3, Prior("gauss", 0.3, 0.05), is_var=False),
+        }
+    }
+    eclipses = []
+    for k in range(n_ecl):
+        ph = np.linspace(-0.1, 0.1, 50)
+        lc = Lightcurve(ph, 0.1 + 0.01 * rng.standard_normal(50),
+                        np.full(50, 0.01), name=f"ecl{k}")
+        params = {
+            "dFlux": _p("dFlux", 0.05, Prior("uniform", 0, 1)),
+            "sFlux": _p("sFlux", 0.08, Prior("uniform", 0, 1)),
+            "rdisc": _p("rdisc", 0.44, Prior("uniform", 0.2, 0.9)),
+            "scale": _p("scale", 0.02, Prior("log_uniform", 1e-4, 0.5)),
+            "az": _p("az", 160.0, Prior("uniform", 50, 180)),
+            "fis": _p("fis", 0.2, Prior("uniform", 0, 1)),
+            "dexp": _p("dexp", 1.5, Prior("uniform", 0, 3)),
+            "phi0": _p("phi0", 0.0, Prior("uniform", -0.05, 0.05)),
+        }
+        if complex_flags[k]:
+            params.update({
+                "exp1": _p("exp1", 2.0, Prior("uniform", 0.01, 5)),
+                "exp2": _p("exp2", 1.0, Prior("uniform", 0.01, 5)),
+                "tilt": _p("tilt", 90.0, Prior("uniform", 0, 180)),
+                "yaw": _p("yaw", 0.0, Prior("uniform", -90, 90)),
+            })
+        if gp_flags[k]:
+            params.update({
+                "ln_ampin_gp": _p("ln_ampin_gp", -8.0, Prior("uniform", -20, 0)),
+                "ln_ampout_gp": _p("ln_ampout_gp", -9.0, Prior("uniform", -20, 0)),
+                "ln_tau_gp": _p("ln_tau_gp", -5.0, Prior("uniform", -10, 0)),
+            })
+        eclipses.append(EclipseSpec(
+            f"ecl{k}", "g", lc, params,
+            complex_spot=complex_flags[k], use_gp=gp_flags[k]))
+    return HierarchicalModel(core, bands, eclipses)
+
+
+class TestTree:
+    def test_layout_depth_first(self):
+        m = make_tiny_model().compile()
+        # core first, then band, then eclipse params in declaration order
+        assert m.param_names[:3] == ["q_core", "dphi_core", "rwd_core"]
+        assert m.param_names[3:6] == ["wdFlux_g", "rsFlux_g", "ulimb_g"]
+        assert m.param_names[6].endswith("_ecl0")
+        # complex eclipse has 4 extra params
+        n0 = sum(1 for n in m.param_names if n.endswith("_ecl0"))
+        n1 = sum(1 for n in m.param_names if n.endswith("_ecl1"))
+        assert n1 == n0 + 4
+
+    def test_var_subset_excludes_fixed(self):
+        m = make_tiny_model().compile()
+        assert "ulimb_g" not in m.var_names()
+        assert m.n_var == m.n_full - 1
+
+    def test_full_from_var_roundtrip(self):
+        m = make_tiny_model().compile()
+        v = m.var_start() + 0.001
+        full = m.full_from_var(jnp.asarray(v))
+        np.testing.assert_allclose(
+            np.asarray(full)[m.var_idx], v)
+        # fixed param keeps its start value
+        fixed_i = m.param_names.index("ulimb_g")
+        assert float(full[fixed_i]) == 0.3
+
+    def test_cv_params_shared_and_private(self):
+        m = make_tiny_model().compile()
+        full = jnp.asarray(m.full_start)
+        cvp = np.asarray(m.cv_params(full))
+        assert cvp.shape == (2, 18)
+        # q, dphi, rwd shared across eclipses (slots 4, 5, 8)
+        assert cvp[0, 4] == cvp[1, 4] == 0.15
+        assert cvp[0, 5] == cvp[1, 5] == 0.04
+        # simple eclipse gets neutral complex constants
+        np.testing.assert_allclose(cvp[0, 14:], [1.0, 1.0, 90.0, 0.0])
+        # complex eclipse gets its own values
+        np.testing.assert_allclose(cvp[1, 14:], [2.0, 1.0, 90.0, 0.0])
+
+    def test_padding_and_masks(self):
+        m = make_tiny_model().compile()
+        m.spec.eclipses[0].lightcurve = Lightcurve(
+            np.linspace(-0.1, 0.1, 30), np.zeros(30), np.ones(30))
+        m2 = m.spec.compile()
+        assert m2.data_mask.shape == (2, 50)
+        assert m2.data_mask[0].sum() == 30
+        assert m2.data_mask[1].sum() == 50
+
+    def test_lightcurve_loader(self, tmp_path):
+        f = tmp_path / "lc.txt"
+        arr = np.column_stack([
+            np.linspace(-0.2, 0.2, 40), np.ones(40), np.full(40, 0.1)])
+        np.savetxt(f, arr)
+        lc = Lightcurve.from_file(f, trim=(-0.1, 0.1))
+        assert len(lc) == 20
+        assert lc.width is None

@@ -1,0 +1,103 @@
+"""Sampler statistical tests (SURVEY.md §4 "Sampler tests"): recover the
+moments of known targets, acceptance-rate bands, init rejection bounds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfit_python_tpu.sampling.ensemble import (
+    EnsembleState,
+    ensemble_step,
+    init_walkers,
+    run_sampler,
+)
+
+
+class TestGaussianTarget:
+    def test_recovers_moments(self):
+        cov = np.array([[2.0, 0.6], [0.6, 0.5]])
+        icov = jnp.asarray(np.linalg.inv(cov))
+        mean = jnp.asarray([1.0, -2.0])
+
+        def ln_prob(x):
+            d = x - mean
+            return -0.5 * d @ icov @ d
+
+        key = jax.random.PRNGKey(0)
+        state = init_walkers(key, mean, 0.1 * jnp.ones(2), ln_prob, 64)
+        # burn
+        state, chain, chain_lp, acc = run_sampler(state, ln_prob, 400)
+        state, chain, chain_lp, acc = run_sampler(state, ln_prob, 1200)
+        flat = chain.reshape(-1, 2)
+        got_mean = flat.mean(axis=0)
+        got_cov = np.cov(flat.T)
+        np.testing.assert_allclose(got_mean, np.asarray(mean), atol=0.08)
+        np.testing.assert_allclose(got_cov, cov, rtol=0.15, atol=0.05)
+        # healthy stretch-move acceptance on a 2-d Gaussian
+        assert 0.3 < acc.mean() < 0.9
+
+    def test_chain_shapes_and_thinning(self):
+        def ln_prob(x):
+            return -0.5 * jnp.sum(x * x)
+
+        key = jax.random.PRNGKey(1)
+        state = init_walkers(key, jnp.zeros(3), jnp.ones(3), ln_prob, 32)
+        state, chain, chain_lp, acc = run_sampler(
+            state, ln_prob, 100, thin=10, chunk_size=32)
+        assert chain.shape == (10, 32, 3)
+        assert chain_lp.shape == (10, 32)
+        assert acc.shape == (100,)
+        assert int(state.step) == 100
+
+    def test_deterministic_given_key(self):
+        def ln_prob(x):
+            return -0.5 * jnp.sum(x * x)
+
+        outs = []
+        for _ in range(2):
+            state = init_walkers(
+                jax.random.PRNGKey(7), jnp.zeros(2), jnp.ones(2), ln_prob, 16)
+            state, chain, _, _ = run_sampler(state, ln_prob, 20)
+            outs.append(chain)
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestRosenbrock:
+    def test_explores_banana(self):
+        def ln_prob(x):
+            return -(100.0 * (x[1] - x[0] ** 2) ** 2 + (1 - x[0]) ** 2) / 20.0
+
+        key = jax.random.PRNGKey(2)
+        state = init_walkers(key, jnp.asarray([1.0, 1.0]),
+                             0.2 * jnp.ones(2), ln_prob, 64)
+        state, chain, _, acc = run_sampler(state, ln_prob, 2000)
+        flat = chain[500:].reshape(-1, 2)
+        # the Rosenbrock ridge: x1 spans a wide range, mean near ~1-2
+        assert flat[:, 0].std() > 0.5
+        assert acc.mean() > 0.15
+
+
+class TestInitWalkers:
+    def test_rejection_respects_support(self):
+        # hard wall at x > 0: all walkers must start strictly inside
+        def ln_prob(x):
+            return jnp.where(jnp.all(x > 0), -0.5 * jnp.sum(x * x), -jnp.inf)
+
+        state = init_walkers(
+            jax.random.PRNGKey(3),
+            jnp.asarray([0.05, 0.05]),        # near the wall: many redraws
+            jnp.asarray([0.1, 0.1]),
+            ln_prob, 128)
+        assert bool(jnp.all(jnp.isfinite(state.log_prob)))
+        assert bool(jnp.all(state.positions > 0))
+
+    def test_walker_spread_matches_scatter(self):
+        def ln_prob(x):
+            return -0.5 * jnp.sum(x * x)
+
+        scatter = jnp.asarray([0.01, 0.5])
+        state = init_walkers(
+            jax.random.PRNGKey(4), jnp.zeros(2), scatter, ln_prob, 512)
+        stds = np.asarray(state.positions).std(axis=0)
+        np.testing.assert_allclose(stds, np.asarray(scatter), rtol=0.2)
