@@ -1,0 +1,58 @@
+"""Device-mesh scale-out for the walker ensemble (SURVEY.md §5.8).
+
+The reference's only parallelism is ``multiprocessing.Pool`` fork+pickle
+over CPU cores (SURVEY.md §2 "Parallelism") — walkers are the unit of
+parallel work.  The TPU-native equivalent: a 1-D ``jax.sharding.Mesh``
+over the ``walkers`` axis; the posterior vmap shards embarrassingly, and
+the stretch move's partner selection (each walker pairs with a random
+member of the complementary half-ensemble) becomes a gather that XLA
+lowers to an all-gather of the complementary half over ICI — a ~W*D/2
+float transfer per half-step, negligible against the likelihood compute.
+
+No NCCL/MPI: XLA collectives over ICI/DCN are the backend.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sampling.ensemble import EnsembleState
+
+__all__ = ["walker_mesh", "shard_state", "walker_sharding"]
+
+WALKER_AXIS = "walkers"
+
+
+def walker_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name ``walkers``."""
+    if devices is None:
+        devices = jax.devices()
+    return jax.make_mesh((len(devices),), (WALKER_AXIS,), devices=devices)
+
+
+def walker_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(WALKER_AXIS))
+
+
+def shard_state(state: EnsembleState, mesh: Mesh) -> EnsembleState:
+    """Place the ensemble on the mesh: walker-sharded positions/log-probs,
+    replicated PRNG key and step counter.
+
+    Walker count must divide the mesh size times 2 (two half-ensembles,
+    each itself walker-sharded).
+    """
+    n_dev = mesh.devices.size
+    W = state.positions.shape[0]
+    if W % (2 * n_dev):
+        raise ValueError(
+            f"n_walkers={W} must be divisible by 2*n_devices={2 * n_dev}")
+    shard = walker_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    return EnsembleState(
+        key=jax.device_put(state.key, rep),
+        positions=jax.device_put(state.positions, shard),
+        log_prob=jax.device_put(state.log_prob, shard),
+        step=jax.device_put(state.step, rep),
+    )

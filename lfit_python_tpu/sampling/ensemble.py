@@ -89,7 +89,12 @@ def _half_update(key, movers, movers_lp, others, ln_prob_fn, a):
     n_half, D = movers.shape
     k1, k2, k3 = jax.random.split(key, 3)
     j = jax.random.randint(k1, (n_half,), 0, others.shape[0])
-    partners = others[j]
+    # Partner selection as a one-hot matmul rather than a gather: under a
+    # walker-sharded mesh XLA lowers this to an all-gather of the (small)
+    # complementary half over ICI with unambiguous output sharding, and the
+    # selection products (1.0 * x) are exact in any dtype.
+    one_hot = jax.nn.one_hot(j, others.shape[0], dtype=movers.dtype)
+    partners = jnp.dot(one_hot, others, preferred_element_type=movers.dtype)
     u = jax.random.uniform(k2, (n_half,), movers.dtype)
     z = ((a - 1.0) * u + 1.0) ** 2 / a
     prop = partners + z[:, None] * (movers - partners)

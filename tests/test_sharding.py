@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 "Multi-device tests without a pod")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfit_python_tpu.parallel.mesh import shard_state, walker_mesh, walker_sharding
+from lfit_python_tpu.sampling.ensemble import (
+    ensemble_step,
+    init_walkers,
+    run_sampler,
+)
+
+
+def _ln_prob(x):
+    return -0.5 * jnp.sum(x * x)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return walker_mesh()
+
+
+class TestShardedEnsemble:
+    def test_state_sharded_over_walkers(self, mesh):
+        state = init_walkers(
+            jax.random.PRNGKey(0), jnp.zeros(4), jnp.ones(4), _ln_prob, 64)
+        sstate = shard_state(state, mesh)
+        shard_shapes = {
+            s.data.shape for s in sstate.positions.addressable_shards}
+        assert shard_shapes == {(8, 4)}
+
+    def test_rejects_indivisible_walker_count(self, mesh):
+        state = init_walkers(
+            jax.random.PRNGKey(0), jnp.zeros(2), jnp.ones(2), _ln_prob, 36)
+        with pytest.raises(ValueError, match="divisible"):
+            shard_state(state, mesh)
+
+    def test_sharded_step_matches_single_device(self, mesh):
+        """The sharded step must be bitwise-identical to the unsharded one
+        (same PRNG stream, same partner indices — only the layout differs)."""
+        state = init_walkers(
+            jax.random.PRNGKey(1), jnp.zeros(3), jnp.ones(3), _ln_prob, 48)
+        step = jax.jit(lambda s: ensemble_step(s, _ln_prob)[0])
+
+        ref = step(state)
+        sharded = step(shard_state(state, mesh))
+        np.testing.assert_array_equal(
+            np.asarray(ref.positions), np.asarray(sharded.positions))
+        np.testing.assert_array_equal(
+            np.asarray(ref.log_prob), np.asarray(sharded.log_prob))
+
+    def test_sharded_run_sampler(self, mesh):
+        state = init_walkers(
+            jax.random.PRNGKey(2), jnp.zeros(2), jnp.ones(2), _ln_prob, 32)
+        sstate = shard_state(state, mesh)
+        sstate, chain, chain_lp, acc = run_sampler(sstate, _ln_prob, 50)
+        assert chain.shape == (50, 32, 2)
+        flat = chain[20:].reshape(-1, 2)
+        assert abs(flat.mean()) < 0.2
+        assert 0.5 < flat.std() < 1.5
