@@ -26,7 +26,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..roche.geometry import earth_vector, lobe_radius, ray_clearance, roche_potential
+from ..roche.geometry import (
+    contact_interval,
+    earth_vector,
+    lobe_radius,
+    ray_clearance,
+    roche_potential,
+    visible_fraction_interval,
+)
 from ..roche.stream import spot_position
 
 __all__ = [
@@ -217,6 +224,39 @@ def spot_flux(q, incl_deg, phases, positions, weights, fis, normal,
         )(positions)
     )(e)                                             # (P, N)
     return (vis.astype(weights.dtype) @ weights) * factor
+
+
+# ---------------------------------------------------------------------------
+# Interval-based element visibility (the fast path)
+# ---------------------------------------------------------------------------
+
+def element_intervals(q, incl_deg, positions, xl1_val, phi_l1):
+    """Per-element eclipse intervals: one root-find per element per walker.
+
+    This is the TPU analogue of the reference's cached per-element contact
+    phases (``CV::set_parameters`` + ``Roche::ingress_egress`` [R]): after
+    this, per-phase visibility costs a comparison instead of a ray scan.
+    Returns (phi_in (N,), phi_out (N,), eclipsed (N,) bool).
+    """
+    return jax.vmap(
+        lambda p: contact_interval(q, incl_deg, p, xl1_val, phi_l1)
+    )(positions)
+
+
+def element_flux_curve(phases, widths, intervals, weights):
+    """Weighted visible-fraction light curve for a set of elements.
+
+    ``phases`` (P,), ``widths`` (P,) or None, ``intervals`` from
+    :func:`element_intervals`, ``weights`` (N,).  Finite-exposure smearing
+    is EXACT (analytic interval overlap) — no phase subsampling needed.
+    Returns (P,).
+    """
+    phi_in, phi_out, ecl = intervals
+    w = jnp.zeros_like(phases) if widths is None else widths
+    vis = visible_fraction_interval(
+        phases[:, None], w[:, None],
+        phi_in[None, :], phi_out[None, :], ecl[None, :])
+    return vis @ weights
 
 
 # ---------------------------------------------------------------------------

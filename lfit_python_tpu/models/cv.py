@@ -132,11 +132,13 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig()):
         q, x1, pl1, config.n_donor_lat, config.n_donor_lon, dtype)
 
     # ---- phase grid with finite-exposure smearing -----------------------
+    # WD and donor are smooth per-phase functions: phase subsampling.
+    # Disc and spot visibility is interval-based: exact analytic smearing.
     phases = jnp.asarray(phases, dtype)
     ph = phases - phi0
-    if widths is not None:
-        sub = _expand_exposure(ph, jnp.asarray(widths, dtype),
-                               config.n_exposure_sub)
+    w = None if widths is None else jnp.asarray(widths, dtype)
+    if w is not None:
+        sub = _expand_exposure(ph, w, config.n_exposure_sub)
         n_sub = config.n_exposure_sub
     else:
         sub = ph
@@ -145,14 +147,22 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig()):
     def mean_over_sub(y):
         return y.reshape(-1, n_sub).mean(axis=1) if n_sub > 1 else y
 
-    # ---- components ------------------------------------------------------
+    # ---- white dwarf (smooth clearance -> analytic edge fraction) -------
     ywd = wdF * mean_over_sub(
         comp.wd_flux(q, incl, sub, rwd, ulimb, x1, pl1))
-    ydisc = dF * mean_over_sub(
-        comp.disc_flux(q, incl, sub, disc_pos, disc_w, x1, pl1))
-    yspot = sF * mean_over_sub(
-        comp.spot_flux(q, incl, sub, spot_pos, spot_w, fis, normal, x1, pl1))
 
+    # ---- disc + spot via per-element contact intervals ------------------
+    all_pos = jnp.concatenate([disc_pos, spot_pos], axis=0)
+    intervals = comp.element_intervals(q, incl, all_pos, x1, pl1)
+    n_disc = disc_pos.shape[0]
+    disc_iv = tuple(a[:n_disc] for a in intervals)
+    spot_iv = tuple(a[n_disc:] for a in intervals)
+    ydisc = dF * comp.element_flux_curve(ph, w, disc_iv, disc_w)
+    beam = jnp.maximum(comp.earth_vector(ph, incl) @ normal, 0.0)
+    factor = fis + (1.0 - fis) * beam
+    yspot = sF * comp.element_flux_curve(ph, w, spot_iv, spot_w) * factor
+
+    # ---- donor (smooth; never occulted) ---------------------------------
     raw_sec = comp.donor_flux(incl, sub, dgrid, config.ulimb_donor)
     quad = comp.donor_flux(
         incl, jnp.asarray([0.25], dtype), dgrid, config.ulimb_donor)[0]

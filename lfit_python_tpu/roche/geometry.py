@@ -168,13 +168,47 @@ def ray_clearance(q, p, e, xl1_val, phi_l1, with_grad=False):
     # entirely behind the start point.
     no_occ = (disc <= 0.0) | (tstar + half <= 1e-9)
 
-    def g(t):
-        return roche_potential(q, p + t * e)
+    mu = q / (1.0 + q)
+    # Along the ray r(t) = p + t*e (|e| = 1):
+    #   r1^2 = t^2 + 2 b1 t + c1,   b1 = p.e,        c1 = |p|^2
+    #   r2^2 = t^2 + 2 b2 t + c2,   b2 = (p - c2).e, c2 = |p - c2|^2
+    # so g(t) = Phi(r(t)) and its first two t-derivatives are closed-form —
+    # no autodiff in the hot loop.
+    b1 = jnp.dot(p, e)
+    c1 = jnp.dot(p, p)
+    pc = p - c2
+    b2 = jnp.dot(pc, e)
+    c2n = jnp.dot(pc, pc)
+    ax = p[0] - mu
+    ay = p[1]
+    ex, ey = e[0], e[1]
+    ee2 = ex * ex + ey * ey
+
+    def g_val(t):
+        r1 = jnp.sqrt(t * t + 2.0 * b1 * t + c1)
+        r2 = jnp.sqrt(t * t + 2.0 * b2 * t + c2n)
+        cx = ax + t * ex
+        cy = ay + t * ey
+        return -(1.0 - mu) / r1 - mu / r2 - 0.5 * (cx * cx + cy * cy)
+
+    def g_derivs(t):
+        i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+        i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + c2n)
+        u1, u2 = t + b1, t + b2
+        i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+        cx = ax + t * ex
+        cy = ay + t * ey
+        g1 = ((1.0 - mu) * u1 * i13 + mu * u2 * i23
+              - (cx * ex + cy * ey))
+        g2 = ((1.0 - mu) * (i13 - 3.0 * u1 * u1 * i13 * i1 * i1)
+              + mu * (i23 - 3.0 * u2 * u2 * i23 * i2 * i2)
+              - ee2)
+        return g1, g2
 
     # --- coarse grid scan ---------------------------------------------
     frac = jnp.linspace(0.0, 1.0, _CLEAR_GRID, dtype=p.dtype)
     ts = t_lo + (t_hi - t_lo) * frac
-    vals = jax.vmap(g)(ts)
+    vals = g_val(ts)
     k = jnp.argmin(vals)
     t0 = ts[k]
     h = (t_hi - t_lo) / (_CLEAR_GRID - 1)
@@ -183,12 +217,12 @@ def ray_clearance(q, p, e, xl1_val, phi_l1, with_grad=False):
 
     # --- Newton polish (clamped to the bracket) ------------------------
     def newton(_, t):
-        g1, g2 = jax.jvp(jax.grad(g), (t,), (jnp.ones_like(t),))
+        g1, g2 = g_derivs(t)
         step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
         return jnp.clip(t - step, lo, hi)
 
     t_min = jax.lax.fori_loop(0, _CLEAR_NEWTON, newton, t0)
-    clear = jnp.where(no_occ, _CLEAR_VISIBLE, g(t_min) - phi_l1)
+    clear = jnp.where(no_occ, _CLEAR_VISIBLE, g_val(t_min) - phi_l1)
     if not with_grad:
         return clear
     grad_p = jax.grad(lambda pp: roche_potential(q, pp))(p + t_min * e)
@@ -276,6 +310,77 @@ def eclipse_half_width(q, incl_deg, p=None, xl1_val=None, phi_l1=None):
     lo, hi = jax.lax.fori_loop(0, _PHASE_ITERS, body, (lo, hi))
     eclipsed_at_0 = clear_at(jnp.asarray(0.0, p.dtype)) < 0.0
     return jnp.where(eclipsed_at_0, 0.5 * (lo + hi), jnp.nan)
+
+
+def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
+    """Eclipse interval (phi_in, phi_out) of an orbital-plane point ``p``.
+
+    The TPU-batched analogue of the reference's per-element geometry cache
+    (trm-roche ``Roche::ingress_egress`` [R], cached in ``CV::set_parameters``
+    [R]): instead of one blink test per (element, phase), each element's
+    ingress/egress phases are root-found ONCE per parameter vector and
+    per-phase visibility becomes a wrapped-interval comparison.  This
+    removes the (phases x elements x ray-scan) memory blow-up and most of
+    the compute.
+
+    Returns (phi_in, phi_out, eclipsed): for never-eclipsed points
+    ``eclipsed`` is False and the interval is empty (phi_in == phi_out).
+    The occulter (donor Roche lobe) is convex for sight lines from the
+    primary's side, so the eclipse is a single contiguous interval.
+
+    Scalar in ``p``; vmap over elements and walkers.
+    """
+    # conjunction phase of p: observer azimuth aligned with p -> donor
+    theta_c = jnp.arctan2(p[1], 1.0 - p[0])
+    phi_c = theta_c / (2.0 * jnp.pi)
+
+    def clear_at(phase):
+        return ray_clearance(q, p, earth_vector(phase, incl_deg),
+                             xl1_val, phi_l1)
+
+    c_mid = clear_at(phi_c)
+    eclipsed = c_mid < 0.0
+
+    def edge(sign):
+        # bisect clearance = 0 on [phi_c, phi_c + sign*0.25]
+        lo = phi_c                      # eclipsed end
+        hi = phi_c + sign * 0.25        # visible end
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            c = clear_at(mid)
+            lo = jnp.where(c < 0.0, mid, lo)
+            hi = jnp.where(c < 0.0, hi, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, _PHASE_ITERS, body, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    phi_out = jnp.where(eclipsed, edge(+1.0), phi_c)
+    phi_in = jnp.where(eclipsed, edge(-1.0), phi_c)
+    return phi_in, phi_out, eclipsed
+
+
+def visible_fraction_interval(phase, width, phi_in, phi_out, eclipsed):
+    """Fraction of the exposure [phase - width/2, phase + width/2] during
+    which a point with eclipse interval (phi_in, phi_out) is VISIBLE.
+
+    Exact finite-exposure smearing for interval-based visibility (replaces
+    phase subsampling for the element components).  All quantities in
+    orbital cycles; handles phase wrapping.  ``width == 0`` degrades to the
+    instantaneous indicator.  Broadcasts over phases.
+    """
+    dur = phi_out - phi_in
+    w = jnp.maximum(width, 1e-12)
+    # wrapped position of the exposure start relative to eclipse start:
+    # in these coordinates the eclipse occupies [0, dur] (+ integer cycles)
+    rel = jnp.mod(phase - 0.5 * w - phi_in, 1.0)
+    ov_this = jnp.clip(dur - rel, 0.0, w)        # overlap with [0, dur]
+    ov_next = jnp.clip(rel + w - 1.0, 0.0, dur)  # overlap with [1, 1+dur]
+    overlap = jnp.clip(ov_this + ov_next, 0.0, w)
+    frac_occulted = jnp.where(eclipsed, overlap / w, 0.0)
+    return 1.0 - frac_occulted
 
 
 def lobe_radius(q, direction, xl1_val=None, phi_l1=None):

@@ -131,6 +131,51 @@ class TestDonor:
         assert 0.5 * sphere < a.sum() < 2.0 * sphere
 
 
+class TestIntervalFastPath:
+    """Cross-validation: interval-based visibility (fast path) must agree
+    with the direct per-phase blink sweep (oracle path)."""
+
+    def test_disc_intervals_match_blink(self, geom):
+        x1, pl1, incl = geom
+        pos, w = comp.disc_elements(0.01, 0.3, 1.5, n_rad=8, n_az=12)
+        phases = jnp.linspace(-0.2, 0.2, 101)
+        slow = np.asarray(comp.disc_flux(Q, incl, phases, pos, w, x1, pl1))
+        iv = comp.element_intervals(Q, incl, pos, x1, pl1)
+        fast = np.asarray(comp.element_flux_curve(phases, None, iv, w))
+        # agreement everywhere except possibly phases landing exactly on a
+        # contact (measure zero): compare elementwise with a tiny tolerance
+        np.testing.assert_allclose(fast, slow, atol=1e-9)
+
+    def test_spot_intervals_match_blink(self, geom):
+        x1, pl1, incl = geom
+        pos, w = comp.spot_elements(Q, 0.3, 0.02, 160.0, 1.0, 1.0)
+        nrm = comp.spot_normal(160.0, 90.0, 0.0)
+        phases = jnp.linspace(-0.3, 0.3, 121)
+        slow = np.asarray(
+            comp.spot_flux(Q, incl, phases, pos, w, 0.2, nrm, x1, pl1))
+        iv = comp.element_intervals(Q, incl, pos, x1, pl1)
+        e = comp.earth_vector(phases, incl)
+        factor = np.asarray(0.2 + 0.8 * jnp.maximum(e @ nrm, 0.0))
+        fast = np.asarray(
+            comp.element_flux_curve(phases, None, iv, w)) * factor
+        np.testing.assert_allclose(fast, slow, atol=1e-9)
+
+    def test_analytic_smearing_matches_subsampling(self, geom):
+        x1, pl1, incl = geom
+        pos, w = comp.disc_elements(0.01, 0.3, 1.5, n_rad=8, n_az=12)
+        phases = jnp.linspace(-0.05, 0.05, 41)
+        width = jnp.full_like(phases, 0.003)
+        iv = comp.element_intervals(Q, incl, pos, x1, pl1)
+        exact = np.asarray(comp.element_flux_curve(phases, width, iv, w))
+        # oracle: dense subsampling of the exposure with the same intervals
+        K = 64
+        offs = (jnp.arange(K) + 0.5) / K - 0.5
+        sub = (phases[:, None] + width[:, None] * offs[None, :]).reshape(-1)
+        dense = np.asarray(
+            comp.element_flux_curve(sub, None, iv, w)).reshape(-1, K).mean(1)
+        np.testing.assert_allclose(exact, dense, atol=2e-3)
+
+
 class TestCVOrchestrator:
     PARS = np.array(
         [0.1, 0.05, 0.08, 0.03, Q, DPHI, 0.44, 0.3, 0.01,
