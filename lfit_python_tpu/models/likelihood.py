@@ -27,7 +27,8 @@ from .cv import CVConfig, cv_total_flux
 from .priors import ln_prior_table
 from .tree import CompiledModel
 
-__all__ = ["PosteriorData", "make_ln_prob", "make_ln_prob_parts"]
+__all__ = ["PosteriorData", "make_ln_prob", "make_ln_prob_parts",
+           "gp_flicker_ln_like"]
 
 
 class PosteriorData(NamedTuple):
@@ -76,6 +77,34 @@ def _ln_physical(cv_pars):
     return jnp.where(ok, 0.0, -jnp.inf)
 
 
+def gp_flicker_ln_like(cv_pars, model_flux, gp_pars, data: PosteriorData, k):
+    """GP "flickering" likelihood for one eclipse (reference
+    ``GPEclipse.ln_like`` [R], SURVEY.md §3.3).
+
+    Residuals (data - model) are modelled by a Matern-3/2 GP whose
+    amplitude switches between exp(ln_ampin_gp) inside the white-dwarf
+    eclipse (|phase - phi0| <= dphi/2, the changepoints) and
+    exp(ln_ampout_gp) outside, with common timescale exp(ln_tau_gp) in
+    phase units.  Segment boundaries reset the O(n) recursion, which is
+    exactly the reference's independent per-segment celerite GPs.
+    """
+    from ..ops.gp import segmented_matern32_ln_like
+
+    ln_ampin, ln_ampout, ln_tau = gp_pars[0], gp_pars[1], gp_pars[2]
+    dphi, phi0 = cv_pars[5], cv_pars[13]
+    t = data.phase[k]
+    resid = data.flux[k] - model_flux
+    wrapped = jnp.mod(t - phi0 + 0.5, 1.0) - 0.5
+    in_ecl = jnp.abs(wrapped) <= 0.5 * dphi
+    sigma2 = jnp.where(in_ecl, jnp.exp(2.0 * ln_ampin),
+                       jnp.exp(2.0 * ln_ampout))
+    reset = jnp.concatenate(
+        [jnp.zeros(1, bool), in_ecl[1:] != in_ecl[:-1]])
+    c = jnp.sqrt(3.0) / jnp.exp(ln_tau)
+    return segmented_matern32_ln_like(
+        t, resid, data.err[k], sigma2, c, reset=reset, mask=data.mask[k])
+
+
 def _chi2_ln_like(model_flux, data: PosteriorData, k):
     """Masked Gaussian ln-likelihood for eclipse k (chi^2 branch)."""
     r = (data.flux[k] - model_flux) / data.err[k]
@@ -93,9 +122,11 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         config = CVConfig(complex_spot=model.any_complex)
     # the tree always emits 18-slot vectors -> evaluate the complex path
     config = config._replace(complex_spot=True)
+    if gp_ln_like is None and model.any_gp:
+        gp_ln_like = gp_flicker_ln_like
     data = _to_device_data(model, dtype)
     prior_table = model.prior_table
-    use_gp = model.gp_mask
+    use_gp = jnp.asarray(model.gp_mask)
 
     def ln_prior(var_vec):
         full = model.full_from_var(var_vec.astype(dtype))

@@ -1,0 +1,148 @@
+"""Chain output, reading, and convergence diagnostics (L4 utilities).
+
+Reference: ``mcmc_utils.py`` — ``run_mcmc_save`` appending each step to
+``chain_prod.txt``, ``readchain``/``flatchain`` readers, Gelman-Rubin
+diagnostic, ``thumbPlot`` corner plots (SURVEY.md §2 "MCMC chain utils"
+[R]).  The legacy text format is kept for drop-in compatibility:
+one row per (step, walker): ``walker_index  par_0 ... par_{D-1}  ln_prob``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "ChainWriter",
+    "read_chain",
+    "flatchain",
+    "gelman_rubin",
+    "autocorr_time",
+    "summarize",
+]
+
+
+class ChainWriter:
+    """Incremental chain writer (reference ``run_mcmc_save`` [R]).
+
+    Appends rows as steps arrive so a killed run keeps everything written
+    so far — the reference's only crash tolerance, preserved here on top of
+    the first-class checkpointing in utils/checkpoints.py.
+    """
+
+    def __init__(self, path, param_names: Sequence[str]):
+        self.path = Path(path)
+        self.param_names = list(param_names)
+        header = "# walker " + " ".join(self.param_names) + " ln_prob\n"
+        self.path.write_text(header)
+        self._fh = self.path.open("a")
+
+    def append(self, positions: np.ndarray, log_probs: np.ndarray):
+        """positions (n_steps, W, D) or (W, D); log_probs matching."""
+        positions = np.atleast_3d(positions)
+        if positions.ndim == 2:
+            positions = positions[None]
+        if log_probs.ndim == 1:
+            log_probs = log_probs[None]
+        n_steps, W, D = positions.shape
+        rows = np.empty((n_steps * W, D + 2))
+        rows[:, 0] = np.tile(np.arange(W), n_steps)
+        rows[:, 1:-1] = positions.reshape(-1, D)
+        rows[:, -1] = log_probs.reshape(-1)
+        np.savetxt(self._fh, rows,
+                   fmt=["%d"] + ["%.10e"] * (D + 1))
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_chain(path):
+    """Read a legacy chain file -> (chain (n_steps, W, D), lnp (n_steps, W),
+    param_names). Reference ``readchain`` [R]."""
+    path = Path(path)
+    with path.open() as fh:
+        header = fh.readline()
+    names = header.lstrip("#").split()
+    assert names[0] == "walker" and names[-1] == "ln_prob"
+    names = names[1:-1]
+    raw = np.loadtxt(path)
+    if raw.ndim == 1:
+        raw = raw[None]
+    W = int(raw[:, 0].max()) + 1
+    n_steps = raw.shape[0] // W
+    raw = raw[: n_steps * W]
+    chain = raw[:, 1:-1].reshape(n_steps, W, -1)
+    lnp = raw[:, -1].reshape(n_steps, W)
+    return chain, lnp, names
+
+
+def flatchain(chain, discard=0, thin=1):
+    """(n_steps, W, D) -> (n_samples, D) (reference ``flatchain`` [R])."""
+    return np.asarray(chain)[discard::thin].reshape(-1, chain.shape[-1])
+
+
+def gelman_rubin(chain, discard=0):
+    """Split-R-hat per parameter (reference had a G-R diagnostic [R-med]).
+
+    ``chain`` (n_steps, W, D); walkers are treated as independent chains,
+    each split in half (Gelman et al. 2013). Values near 1 indicate
+    convergence.
+    """
+    x = np.asarray(chain)[discard:]
+    n, w, d = x.shape
+    half = n // 2
+    x = np.concatenate([x[:half], x[half: 2 * half]], axis=1)  # (half, 2w, d)
+    n, m, _ = x.shape
+    means = x.mean(axis=0)                      # (m, d)
+    W = x.var(axis=0, ddof=1).mean(axis=0)      # within-chain
+    B = n * means.var(axis=0, ddof=1)           # between-chain
+    var_plus = (n - 1) / n * W + B / n
+    return np.sqrt(var_plus / np.maximum(W, 1e-300))
+
+
+def autocorr_time(chain, c=5.0):
+    """Integrated autocorrelation time per parameter (emcee-style
+    self-consistent window; used for effective-sample-size reporting)."""
+    x = np.asarray(chain)
+    n, w, d = x.shape
+    taus = np.empty(d)
+    for j in range(d):
+        f = np.zeros(n)
+        for k in range(w):
+            y = x[:, k, j] - x[:, k, j].mean()
+            fk = np.correlate(y, y, mode="full")[n - 1:]
+            f += fk / max(fk[0], 1e-300)
+        f /= w
+        taus_cum = 2.0 * np.cumsum(f) - 1.0
+        window = np.arange(n) < c * taus_cum
+        idx = np.argmin(window) if not window.all() else n - 1
+        taus[j] = taus_cum[max(idx, 1)]
+    return taus
+
+
+def summarize(chain, param_names, discard=0, percentiles=(16, 50, 84)):
+    """Percentile parameter table (reference's post-fit report [R]).
+
+    Returns a list of dicts: name, median, +err, -err.
+    """
+    flat = flatchain(chain, discard)
+    lo, med, hi = np.percentile(flat, percentiles, axis=0)
+    return [
+        {
+            "name": nm,
+            "median": float(m),
+            "upper": float(h - m),
+            "lower": float(m - l),
+        }
+        for nm, l, m, h in zip(param_names, lo, med, hi)
+    ]
