@@ -1,0 +1,195 @@
+"""Command-line driver (L5): the reference's ``mcmcfit.py`` equivalent.
+
+Usage:
+    python -m lfit_python_tpu.cli fit mcmc_input.dat [--outdir out] [...]
+    python -m lfit_python_tpu.cli wdparams wd_input.dat [...]
+
+Reference call stack (SURVEY.md §3.1): parse input -> build tree -> walker
+ball -> burn-in [-> second burn] -> production with incremental chain
+writing -> percentile table + plots.  Reproduced here with the on-device
+sampler; additions over the reference: first-class checkpoint/resume
+(--resume), structured JSONL metrics, and device-mesh sharding (--shard).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _fit(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .models.likelihood import make_ln_prob
+    from .parallel.mesh import shard_state, walker_mesh
+    from .sampling.ensemble import init_walkers, run_sampler
+    from .utils.chains import ChainWriter, gelman_rubin, summarize
+    from .utils.checkpoints import load_checkpoint, save_checkpoint
+    from .utils.config import build_model_from_config, parse_input_dat
+    from .utils.plotting import corner_plot, plot_eclipse
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    cfg = parse_input_dat(args.input)
+    model = build_model_from_config(cfg).compile()
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    ln_prob = make_ln_prob(model, dtype=dtype)
+
+    n_walkers = int(cfg.get("nwalkers", 64))
+    n_burn = args.nburn if args.nburn is not None else int(cfg.get("nburn", 100))
+    n_prod = args.nprod if args.nprod is not None else int(cfg.get("nprod", 100))
+    scatter_1 = float(cfg.get("scatter_1", 1e-3))
+    scatter_2 = float(cfg.get("scatter_2", scatter_1))
+    thin = int(cfg.get("thin", 1))
+
+    start = jnp.asarray(model.var_start(), dtype)
+    scatter = scatter_1 * jnp.maximum(jnp.abs(start), 1e-2)
+    metrics = (outdir / "metrics.jsonl").open("a")
+
+    def log(stage, step, acc):
+        rec = {"t": time.time(), "stage": stage, "step": step,
+               "accept": round(float(acc), 4)}
+        metrics.write(json.dumps(rec) + "\n")
+        metrics.flush()
+        if not args.quiet:
+            print(f"[{stage}] step {step} accept={acc:.3f}", flush=True)
+
+    resume_from = None
+    if args.resume:
+        from .utils.checkpoints import latest_checkpoint
+        resume_from = latest_checkpoint(outdir)
+
+    if resume_from:
+        state, meta = load_checkpoint(resume_from)
+        print(f"resumed from {resume_from} at step {int(state.step)}")
+    else:
+        state = init_walkers(
+            jax.random.PRNGKey(args.seed), start, scatter, ln_prob,
+            n_walkers)
+
+    if args.shard:
+        state = shard_state(state, walker_mesh())
+
+    t0 = time.time()
+    if not resume_from and n_burn > 0:
+        state, chain, chain_lp, acc = run_sampler(
+            state, ln_prob, n_burn,
+            progress=lambda s, a: log("burn", s, a))
+        if bool(cfg.get("double_burnin", False)):
+            # re-scatter around the best walker (reference second burn [R])
+            best = chain.reshape(-1, model.n_var)[
+                np.argmax(chain_lp.reshape(-1))]
+            from .sampling.ensemble import init_walkers as _init
+            state = _init(
+                state.key, jnp.asarray(best, dtype),
+                scatter_2 * jnp.maximum(jnp.abs(jnp.asarray(best, dtype)),
+                                        1e-2),
+                ln_prob, n_walkers)
+            state, chain, chain_lp, acc = run_sampler(
+                state, ln_prob, n_burn,
+                progress=lambda s, a: log("burn2", s, a))
+
+    writer = ChainWriter(outdir / "chain_prod.txt", model.var_names())
+    ckpt_every = max(args.checkpoint_every, 1)
+    done = int(state.step)
+    all_chain, all_lp = [], []
+    while done < n_prod:
+        n = min(ckpt_every, n_prod - done)
+        state, chain, chain_lp, acc = run_sampler(
+            state, ln_prob, n, thin=thin,
+            progress=lambda s, a: log("prod", done + s, a))
+        writer.append(chain, chain_lp)
+        all_chain.append(chain)
+        all_lp.append(chain_lp)
+        done += n
+        save_checkpoint(outdir / f"checkpoint_{done:07d}.npz", state,
+                        {"input": str(args.input), "stage": "prod"})
+    writer.close()
+
+    chain = np.concatenate(all_chain) if all_chain else np.empty(
+        (0, n_walkers, model.n_var))
+    lp = np.concatenate(all_lp) if all_lp else np.empty((0, n_walkers))
+    dt = time.time() - t0
+    n_evals = (n_burn + n_prod) * n_walkers
+    print(f"total {dt:.1f}s, ~{n_evals / max(dt, 1e-9):.0f} ln-prob evals/s")
+
+    # ---- report ----------------------------------------------------------
+    if len(chain):
+        table = summarize(chain, model.var_names(),
+                          discard=len(chain) // 4)
+        with (outdir / "params.json").open("w") as fh:
+            json.dump(table, fh, indent=1)
+        print(f"{'parameter':22s} {'median':>12s} {'+err':>10s} {'-err':>10s}")
+        for row in table:
+            print(f"{row['name']:22s} {row['median']:12.6g} "
+                  f"{row['upper']:10.3g} {row['lower']:10.3g}")
+        rhat = gelman_rubin(chain, discard=len(chain) // 4)
+        print("max split-R-hat:", float(np.max(rhat)))
+
+        best = chain.reshape(-1, model.n_var)[np.argmax(lp.reshape(-1))]
+        full_best = model.full_from_var(best)
+        if not args.no_plots:
+            flat = chain[len(chain) // 4:].reshape(-1, model.n_var)
+            corner_plot(flat, model.var_names(), outdir / "corner.png")
+            for k in range(model.n_eclipses):
+                plot_eclipse(model, full_best, k,
+                             path=outdir / f"eclipse_{k}.png")
+    return 0
+
+
+def _wdparams(args):
+    from .post.wdparams import run_wdparams
+    return run_wdparams(args)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="lfit_python_tpu",
+        description="TPU-native eclipsing-CV light-curve fitting")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    fit = sub.add_parser("fit", help="run an MCMC fit from an input.dat")
+    fit.add_argument("input")
+    fit.add_argument("--outdir", default="out")
+    fit.add_argument("--seed", type=int, default=0)
+    fit.add_argument("--nburn", type=int, default=None,
+                     help="override input-file nburn")
+    fit.add_argument("--nprod", type=int, default=None)
+    fit.add_argument("--x64", action="store_true",
+                     help="float64 evaluation (CPU oracle mode)")
+    fit.add_argument("--shard", action="store_true",
+                     help="shard walkers over all visible devices")
+    fit.add_argument("--resume", action="store_true",
+                     help="resume from the latest checkpoint in outdir")
+    fit.add_argument("--checkpoint-every", type=int, default=500)
+    fit.add_argument("--no-plots", action="store_true")
+    fit.add_argument("--quiet", action="store_true")
+    fit.set_defaults(func=_fit)
+
+    wd = sub.add_parser("wdparams",
+                        help="fit WD atmosphere params to fitted fluxes")
+    wd.add_argument("input")
+    wd.add_argument("--outdir", default="out_wd")
+    wd.add_argument("--grid", default=None,
+                    help="path to a Bergeron-format DA grid table")
+    wd.add_argument("--seed", type=int, default=0)
+    wd.add_argument("--nburn", type=int, default=500)
+    wd.add_argument("--nprod", type=int, default=1000)
+    wd.add_argument("--nwalkers", type=int, default=64)
+    wd.set_defaults(func=_wdparams)
+
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

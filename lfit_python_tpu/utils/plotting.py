@@ -1,0 +1,95 @@
+"""Result plots (reference: per-eclipse model plots + ``thumbPlot`` corner
+plots from ``mcmc_utils.py``/``mcmcfit.py`` [R], SURVEY.md §2 "Results &
+plots").  Pure matplotlib — the ``corner`` package is not assumed."""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["plot_eclipse", "corner_plot"]
+
+
+def plot_eclipse(model, full_vec, eclipse_index=0, config=None, path=None):
+    """Data + total model + the four component curves + residuals
+    (reference ``Model.plot_data`` [R])."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    from ..models.cv import CVConfig, cv_fluxes
+
+    if config is None:
+        config = CVConfig(complex_spot=True)
+    config = config._replace(complex_spot=True)
+
+    k = eclipse_index
+    ecl = model.spec.eclipses[k]
+    lc = ecl.lightcurve
+    cvp = model.cv_params(jnp.asarray(full_vec))[k]
+    widths = None if lc.width is None else jnp.asarray(lc.width)
+    out = cv_fluxes(cvp, jnp.asarray(lc.phase), widths, config)
+
+    fig, (ax, axr) = plt.subplots(
+        2, 1, figsize=(8, 6), sharex=True,
+        gridspec_kw={"height_ratios": [3, 1]})
+    ax.errorbar(lc.phase, lc.flux, lc.err, fmt=".", ms=3, alpha=0.5,
+                color="k", label="data")
+    ax.plot(lc.phase, np.asarray(out.total), "r-", lw=1.2, label="total")
+    for y, lab, c in [(out.ywd, "WD", "C0"), (out.ydisc, "disc", "C1"),
+                      (out.yspot, "spot", "C2"), (out.ysec, "donor", "C3")]:
+        ax.plot(lc.phase, np.asarray(y), c, lw=0.8, label=lab)
+    ax.set_ylabel("flux")
+    ax.legend(fontsize=8, ncol=3)
+    ax.set_title(f"eclipse {ecl.name} ({ecl.band})")
+    resid = lc.flux - np.asarray(out.total)
+    axr.errorbar(lc.phase, resid, lc.err, fmt=".", ms=3, color="k")
+    axr.axhline(0, color="r", lw=0.8)
+    axr.set_xlabel("orbital phase")
+    axr.set_ylabel("residual")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def corner_plot(flat, names, path=None, max_params=12):
+    """Corner (pairwise scatter + histogram) plot, reference ``thumbPlot``
+    [R].  Caps at ``max_params`` dimensions for readability."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    flat = np.asarray(flat)
+    d = min(flat.shape[1], max_params)
+    fig, axes = plt.subplots(d, d, figsize=(2.0 * d, 2.0 * d))
+    if d == 1:
+        axes = np.array([[axes]])
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i, j]
+            if j > i:
+                ax.set_visible(False)
+                continue
+            if i == j:
+                ax.hist(flat[:, i], bins=40, color="C0",
+                        histtype="stepfilled", alpha=0.7)
+            else:
+                ax.plot(flat[:, j], flat[:, i], ",", color="k", alpha=0.3)
+            if i == d - 1:
+                ax.set_xlabel(names[j], fontsize=7)
+            else:
+                ax.set_xticklabels([])
+            if j == 0 and i > 0:
+                ax.set_ylabel(names[i], fontsize=7)
+            else:
+                ax.set_yticklabels([])
+            ax.tick_params(labelsize=6)
+    fig.tight_layout(pad=0.3)
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        return path
+    return fig

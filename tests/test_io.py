@@ -1,0 +1,233 @@
+"""Config reader, chain IO, checkpoint, and wdparams tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lfit_python_tpu.utils.chains import (
+    ChainWriter,
+    flatchain,
+    gelman_rubin,
+    read_chain,
+    summarize,
+)
+from lfit_python_tpu.utils.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from lfit_python_tpu.utils.config import build_model_from_config, parse_input_dat
+
+INPUT_DAT = """
+# reference-format input file
+nwalkers = 32
+nburn    = 50
+nprod    = 80
+neclipses = 2
+complex  = 0
+useGP    = 0
+complex_1 = 1
+scatter_1 = 0.001
+double_burnin = 0
+
+file_0 = ecl0.txt
+band_0 = g
+file_1 = ecl1.txt
+band_1 = g
+
+q_core    = 0.15  uniform 0.03 3.0  1
+dphi_core = 0.04  uniform 0.01 0.2  1
+rwd_core  = 0.01  uniform 0.0005 0.1 1
+
+wdFlux_g = 0.1  uniform 0 1 1
+rsFlux_g = 0.03 uniform 0 1 1
+ulimb_g  = 0.3  gauss 0.3 0.05 0
+
+dFlux_0 = 0.05 uniform 0 1 1
+sFlux_0 = 0.08 uniform 0 1 1
+rdisc_0 = 0.44 uniform 0.2 0.9 1
+scale_0 = 0.02 log_uniform 1e-4 0.5 1
+az_0    = 160  uniform 50 175 1
+fis_0   = 0.2  uniform 0 1 1
+dexp_0  = 1.5  uniform 0 3 1
+phi0_0  = 0.0  uniform -0.05 0.05 1
+
+dFlux_1 = 0.05 uniform 0 1 1
+sFlux_1 = 0.08 uniform 0 1 1
+rdisc_1 = 0.44 uniform 0.2 0.9 1
+scale_1 = 0.02 log_uniform 1e-4 0.5 1
+az_1    = 160  uniform 50 175 1
+fis_1   = 0.2  uniform 0 1 1
+dexp_1  = 1.5  uniform 0 3 1
+phi0_1  = 0.0  uniform -0.05 0.05 1
+exp1_1  = 2.0  uniform 0.01 5 1
+exp2_1  = 1.0  uniform 0.01 5 1
+tilt_1  = 90   uniform 0 180 1
+yaw_1   = 0    uniform -90 90 1
+"""
+
+
+@pytest.fixture
+def input_file(tmp_path):
+    f = tmp_path / "mcmc_input.dat"
+    f.write_text(INPUT_DAT)
+    for k in range(2):
+        ph = np.linspace(-0.1, 0.1, 40)
+        np.savetxt(tmp_path / f"ecl{k}.txt",
+                   np.column_stack([ph, np.full(40, 0.2),
+                                    np.full(40, 0.01)]))
+    return f
+
+
+class TestConfigReader:
+    def test_meta_and_params(self, input_file):
+        cfg = parse_input_dat(input_file)
+        assert cfg.meta["nwalkers"] == 32
+        assert cfg.meta["complex"] is False
+        assert cfg.complex_flags == {1: True}
+        assert cfg.files == {0: "ecl0.txt", 1: "ecl1.txt"}
+        assert cfg.params["q_core"].prior.type == "uniform"
+        assert cfg.params["ulimb_g"].is_var is False
+        assert cfg.params["scale_0"].prior.p1 == pytest.approx(1e-4)
+
+    def test_build_model(self, input_file):
+        cfg = parse_input_dat(input_file)
+        model = build_model_from_config(cfg).compile()
+        # eclipse 1 is complex: 4 extra params vs eclipse 0
+        n0 = sum(1 for n in model.param_names if n.endswith("_0"))
+        n1 = sum(1 for n in model.param_names if n.endswith("_1"))
+        assert n1 == n0 + 4
+        assert model.n_eclipses == 2
+        assert model.data_mask.shape == (2, 40)
+
+    def test_missing_param_raises(self, input_file):
+        cfg = parse_input_dat(input_file)
+        del cfg.params["dFlux_1"]
+        with pytest.raises(KeyError, match="dFlux_1"):
+            build_model_from_config(cfg)
+
+
+class TestChainIO:
+    def test_writer_reader_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        chain = rng.standard_normal((7, 4, 3))
+        lp = rng.standard_normal((7, 4))
+        path = tmp_path / "chain_prod.txt"
+        with ChainWriter(path, ["a", "b", "c"]) as w:
+            w.append(chain[:3], lp[:3])
+            w.append(chain[3:], lp[3:])
+        chain2, lp2, names = read_chain(path)
+        assert names == ["a", "b", "c"]
+        np.testing.assert_allclose(chain2, chain, rtol=1e-9)
+        np.testing.assert_allclose(lp2, lp, rtol=1e-9)
+
+    def test_flatchain_and_summary(self):
+        rng = np.random.default_rng(1)
+        chain = 2.0 + 0.5 * rng.standard_normal((100, 16, 2))
+        flat = flatchain(chain, discard=10)
+        assert flat.shape == (90 * 16, 2)
+        tab = summarize(chain, ["x", "y"])
+        assert tab[0]["median"] == pytest.approx(2.0, abs=0.05)
+        assert tab[0]["upper"] == pytest.approx(0.5, abs=0.1)
+
+    def test_gelman_rubin_converged_vs_not(self):
+        rng = np.random.default_rng(2)
+        good = rng.standard_normal((200, 8, 1))
+        bad = good.copy()
+        bad[:, :4, 0] += 10.0          # half the walkers in another mode
+        assert gelman_rubin(good)[0] < 1.1
+        assert gelman_rubin(bad)[0] > 1.5
+
+
+class TestCheckpoints:
+    def test_roundtrip_bitwise(self, tmp_path):
+        from lfit_python_tpu.sampling.ensemble import (
+            init_walkers, run_sampler)
+
+        def lnp(x):
+            return -0.5 * jnp.sum(x * x)
+
+        state = init_walkers(jax.random.PRNGKey(3), jnp.zeros(2),
+                             jnp.ones(2), lnp, 16)
+        state, _, _, _ = run_sampler(state, lnp, 10)
+        p = save_checkpoint(tmp_path / "checkpoint_0000010.npz", state,
+                            {"note": "test"})
+        state2, meta = load_checkpoint(p)
+        assert meta["note"] == "test"
+        np.testing.assert_array_equal(
+            np.asarray(state.positions), np.asarray(state2.positions))
+        assert int(state2.step) == 10
+        # resumed run is bitwise identical to an uninterrupted one
+        s_cont, chain_a, _, _ = run_sampler(state, lnp, 5)
+        s_res, chain_b, _, _ = run_sampler(state2, lnp, 5)
+        np.testing.assert_array_equal(chain_a, chain_b)
+
+    def test_latest_checkpoint(self, tmp_path):
+        from lfit_python_tpu.sampling.ensemble import init_walkers
+
+        def lnp(x):
+            return -0.5 * jnp.sum(x * x)
+
+        state = init_walkers(jax.random.PRNGKey(0), jnp.zeros(1),
+                             jnp.ones(1), lnp, 4)
+        for step in (10, 20, 5):
+            save_checkpoint(tmp_path / f"checkpoint_{step:07d}.npz", state)
+        assert latest_checkpoint(tmp_path).name == "checkpoint_0000020.npz"
+
+
+class TestWDParams:
+    def test_synthetic_grid_sane(self):
+        from lfit_python_tpu.post.wdparams import (
+            GridInterpolator, synthetic_da_grid)
+
+        teffs, loggs, mags = synthetic_da_grid([4770.0, 6231.0])
+        interp = GridInterpolator(teffs, loggs, mags)
+        m_hot = np.asarray(interp(40000.0, 8.0))
+        m_cool = np.asarray(interp(8000.0, 8.0))
+        assert (m_hot < m_cool).all()          # hotter -> brighter
+        # higher gravity -> smaller radius -> fainter
+        m_hi_g = np.asarray(interp(15000.0, 9.0))
+        m_lo_g = np.asarray(interp(15000.0, 7.0))
+        assert (m_hi_g > m_lo_g).all()
+
+    def test_mass_radius_consistency(self):
+        from lfit_python_tpu.post.wdparams import (
+            mass_radius_from_logg, nauenberg_radius)
+
+        m, r = mass_radius_from_logg(8.0)
+        assert 0.4 < m < 0.8          # canonical ~0.6 Msun at logg = 8
+        assert r == pytest.approx(nauenberg_radius(m), rel=1e-6)
+
+    def test_end_to_end_recovers_teff(self, tmp_path):
+        from lfit_python_tpu.post.wdparams import (
+            GridInterpolator, synthetic_da_grid)
+
+        # generate fluxes from the synthetic grid at a known point
+        lams = [3561.0, 4770.0, 6231.0, 7625.0]
+        interp = GridInterpolator(*synthetic_da_grid(lams))
+        true_t, true_g, true_plax = 16000.0, 8.2, 4.0
+        mags = np.asarray(interp(true_t, true_g))
+        dist = 1000.0 / true_plax
+        f = 3631e3 * 10 ** (-0.4 * (mags + 5 * np.log10(dist / 10)))
+        lines = [
+            "teff = 14000 uniform 6000 90000 1",
+            "logg = 8.0 uniform 6.5 9.5 1",
+            f"plax = {true_plax} gauss {true_plax} 0.2 1",
+        ] + [
+            f"flux_b{i} = {fi:.6e} {fi * 0.02:.6e} {lam}"
+            for i, (fi, lam) in enumerate(zip(f, lams))
+        ]
+        inp = tmp_path / "wd_input.dat"
+        inp.write_text("\n".join(lines) + "\n")
+
+        from lfit_python_tpu.cli import main
+        rc = main(["wdparams", str(inp), "--outdir", str(tmp_path / "out"),
+                   "--nburn", "300", "--nprod", "400", "--nwalkers", "32"])
+        assert rc == 0
+        report = json.loads((tmp_path / "out" / "wdparams.json").read_text())
+        got = {row["name"]: row["median"] for row in report["params"]}
+        assert got["teff"] == pytest.approx(true_t, rel=0.1)
+        assert got["logg"] == pytest.approx(true_g, abs=0.5)
