@@ -27,7 +27,8 @@ def _fit(args):
     import jax.numpy as jnp
 
     from .models.likelihood import make_ln_prob
-    from .parallel.mesh import shard_state, walker_mesh
+    from .parallel.mesh import (
+        shard_state, sharded_batch_ln_prob, walker_mesh)
     from .sampling.ensemble import init_walkers, run_sampler
     from .utils.chains import ChainWriter, gelman_rubin, summarize
     from .utils.checkpoints import load_checkpoint, save_checkpoint
@@ -76,13 +77,16 @@ def _fit(args):
             jax.random.PRNGKey(args.seed), start, scatter, ln_prob,
             n_walkers)
 
+    batch_fn = None
     if args.shard:
-        state = shard_state(state, walker_mesh())
+        mesh = walker_mesh()
+        state = shard_state(state, mesh)
+        batch_fn = sharded_batch_ln_prob(ln_prob, mesh)
 
     t0 = time.time()
     if not resume_from and n_burn > 0:
         state, chain, chain_lp, acc = run_sampler(
-            state, ln_prob, n_burn,
+            state, ln_prob, n_burn, batch_fn=batch_fn,
             progress=lambda s, a: log("burn", s, a))
         if bool(cfg.get("double_burnin", False)):
             # re-scatter around the best walker (reference second burn [R])
@@ -94,8 +98,10 @@ def _fit(args):
                 scatter_2 * jnp.maximum(jnp.abs(jnp.asarray(best, dtype)),
                                         1e-2),
                 ln_prob, n_walkers)
+            if args.shard:
+                state = shard_state(state, mesh)
             state, chain, chain_lp, acc = run_sampler(
-                state, ln_prob, n_burn,
+                state, ln_prob, n_burn, batch_fn=batch_fn,
                 progress=lambda s, a: log("burn2", s, a))
 
     writer = ChainWriter(outdir / "chain_prod.txt", model.var_names())
@@ -105,7 +111,7 @@ def _fit(args):
     while done < n_prod:
         n = min(ckpt_every, n_prod - done)
         state, chain, chain_lp, acc = run_sampler(
-            state, ln_prob, n, thin=thin,
+            state, ln_prob, n, thin=thin, batch_fn=batch_fn,
             progress=lambda s, a: log("prod", done + s, a))
         writer.append(chain, chain_lp)
         all_chain.append(chain)

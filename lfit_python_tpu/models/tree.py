@@ -155,6 +155,11 @@ class CompiledModel:
         self.full_start = np.asarray([p.start for p in params], np.float64)
         self.var_mask = np.asarray([p.is_var for p in params], bool)
         self.var_idx = np.nonzero(self.var_mask)[0].astype(np.int32)
+        # inverse map for gather-based assembly (scatter has ambiguous
+        # output sharding under a walker-sharded vmap): full slot i takes
+        # var element var_pos[i] if >= 0, else its fixed start value
+        self.var_pos = np.full(len(params), -1, np.int32)
+        self.var_pos[self.var_idx] = np.arange(len(self.var_idx), dtype=np.int32)
         self.n_var = int(self.var_mask.sum())
         self.n_full = len(params)
         self.scatter = np.asarray([p.scatter for p in params], np.float64)
@@ -221,8 +226,12 @@ class CompiledModel:
             full = self.full_start.copy()
             full[self.var_idx] = var_vec
             return full
-        full = jnp.asarray(self.full_start, var_vec.dtype)
-        return full.at[jnp.asarray(self.var_idx)].set(var_vec)
+        # gather form (see var_pos above): sharding-friendly
+        pos = jnp.asarray(self.var_pos)
+        gathered = var_vec[jnp.clip(pos, 0, None)]
+        return jnp.where(pos >= 0,
+                         gathered,
+                         jnp.asarray(self.full_start, var_vec.dtype))
 
     def var_start(self):
         return self.full_start[self.var_idx].copy()

@@ -56,3 +56,28 @@ def shard_state(state: EnsembleState, mesh: Mesh) -> EnsembleState:
         log_prob=jax.device_put(state.log_prob, shard),
         step=jax.device_put(state.step, rep),
     )
+
+
+def sharded_batch_ln_prob(ln_prob_fn, mesh: Mesh):
+    """shard_map-wrapped batch posterior evaluator for ``ensemble_step``.
+
+    Each device evaluates its local walker block with plain (unsharded)
+    arrays — sharding propagation never has to reason about the
+    fixed-iteration geometry loops inside the posterior — and the result
+    carries the walker sharding.  This is the likelihood side of the SPMD
+    design; the stretch move's partner matmul is the only cross-device
+    communication point (SURVEY.md §5.8).
+    """
+    import jax.numpy as jnp
+
+    def local_batch(pos):
+        return jax.vmap(ln_prob_fn)(pos)
+
+    # check_vma=False: the geometry root-find loops seed their carries
+    # from unvarying constants which become walker-varying on the first
+    # iteration — semantically fine for an embarrassingly parallel body
+    # (no collectives inside), but rejected by the strict vma checker.
+    return jax.shard_map(
+        local_batch, mesh=mesh,
+        in_specs=P(WALKER_AXIS), out_specs=P(WALKER_AXIS),
+        check_vma=False)

@@ -84,7 +84,7 @@ def init_walkers(key, start, scatter, ln_prob_fn, n_walkers,
     return EnsembleState(key, pos, lp, jnp.asarray(0, jnp.int32))
 
 
-def _half_update(key, movers, movers_lp, others, ln_prob_fn, a):
+def _half_update(key, movers, movers_lp, others, batch_ln_prob, a):
     """Stretch-move update of one half-ensemble against the other."""
     n_half, D = movers.shape
     k1, k2, k3 = jax.random.split(key, 3)
@@ -98,7 +98,7 @@ def _half_update(key, movers, movers_lp, others, ln_prob_fn, a):
     u = jax.random.uniform(k2, (n_half,), movers.dtype)
     z = ((a - 1.0) * u + 1.0) ** 2 / a
     prop = partners + z[:, None] * (movers - partners)
-    lp_prop = jax.vmap(ln_prob_fn)(prop)
+    lp_prop = batch_ln_prob(prop)
     ln_acc = (D - 1.0) * jnp.log(z) + lp_prop - movers_lp
     accept = jnp.log(jax.random.uniform(k3, (n_half,), movers.dtype)) < ln_acc
     new = jnp.where(accept[:, None], prop, movers)
@@ -106,8 +106,16 @@ def _half_update(key, movers, movers_lp, others, ln_prob_fn, a):
     return new, new_lp, accept
 
 
-def ensemble_step(state: EnsembleState, ln_prob_fn, a=2.0):
-    """One full red-black stretch-move step. Returns (state, accept_frac)."""
+def ensemble_step(state: EnsembleState, ln_prob_fn, a=2.0, batch_fn=None):
+    """One full red-black stretch-move step. Returns (state, accept_frac).
+
+    ``batch_fn`` overrides how a block of proposals is evaluated (default:
+    ``vmap(ln_prob_fn)``).  The sharded path passes a ``shard_map``-wrapped
+    batch evaluator here so no sharding propagation ever has to reason
+    about the fixed-iteration geometry loops inside the posterior
+    (parallel/mesh.py ``sharded_batch_ln_prob``)."""
+    if batch_fn is None:
+        batch_fn = jax.vmap(ln_prob_fn)
     key, k_a, k_b = jax.random.split(state.key, 3)
     pos, lp = state.positions, state.log_prob
     W = pos.shape[0]
@@ -117,9 +125,9 @@ def ensemble_step(state: EnsembleState, ln_prob_fn, a=2.0):
     second, second_lp = pos[half:], lp[half:]
 
     first, first_lp, acc1 = _half_update(
-        k_a, first, first_lp, second, ln_prob_fn, a)
+        k_a, first, first_lp, second, batch_fn, a)
     second, second_lp, acc2 = _half_update(
-        k_b, second, second_lp, first, ln_prob_fn, a)
+        k_b, second, second_lp, first, batch_fn, a)
 
     new_state = EnsembleState(
         key,
@@ -133,7 +141,8 @@ def ensemble_step(state: EnsembleState, ln_prob_fn, a=2.0):
 
 def run_sampler(state: EnsembleState, ln_prob_fn, n_steps, a=2.0, thin=1,
                 chunk_size=64,
-                progress: Optional[Callable[[int, float], None]] = None):
+                progress: Optional[Callable[[int, float], None]] = None,
+                batch_fn=None):
     """Run the sampler for ``n_steps``, returning the thinned chain on host.
 
     The scan runs in device-resident chunks of ``chunk_size`` steps; after
@@ -156,7 +165,7 @@ def run_sampler(state: EnsembleState, ln_prob_fn, n_steps, a=2.0, thin=1,
     @partial(jax.jit, static_argnums=(1,))
     def run_chunk(state, n):
         def body(s, _):
-            s, acc = ensemble_step(s, ln_prob_fn, a)
+            s, acc = ensemble_step(s, ln_prob_fn, a, batch_fn=batch_fn)
             return s, (s.positions, s.log_prob, acc)
 
         return jax.lax.scan(body, state, None, length=n)

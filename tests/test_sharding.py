@@ -62,3 +62,29 @@ class TestShardedEnsemble:
         flat = chain[20:].reshape(-1, 2)
         assert abs(flat.mean()) < 0.2
         assert 0.5 < flat.std() < 1.5
+
+
+class TestShardMapBatchPath:
+    def test_shard_map_batch_matches_vmap(self, mesh):
+        """The shard_map batch evaluator (used for posteriors whose inner
+        loops defeat sharding propagation) must match plain vmap bitwise."""
+        from lfit_python_tpu.parallel.mesh import sharded_batch_ln_prob
+
+        state = init_walkers(
+            jax.random.PRNGKey(5), jnp.zeros(3), jnp.ones(3), _ln_prob, 48)
+        batch_fn = sharded_batch_ln_prob(_ln_prob, mesh)
+        sstate = shard_state(state, mesh)
+
+        ref = jax.jit(lambda s: ensemble_step(s, _ln_prob)[0])(state)
+        shd = jax.jit(
+            lambda s: ensemble_step(s, _ln_prob, batch_fn=batch_fn)[0]
+        )(sstate)
+        np.testing.assert_array_equal(
+            np.asarray(ref.positions), np.asarray(shd.positions))
+
+    def test_flagship_posterior_dryrun(self, mesh):
+        """The full hierarchical posterior steps under the 8-device mesh
+        (this is what the driver's dryrun_multichip exercises)."""
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(4)
