@@ -106,6 +106,10 @@ def _fit(args):
 
     writer = ChainWriter(outdir / "chain_prod.txt", model.var_names())
     ckpt_every = max(args.checkpoint_every, 1)
+    if not resume_from:
+        # production step count starts at zero (the reference resets the
+        # sampler after burn-in [R]); checkpoints store production steps
+        state = state._replace(step=jnp.asarray(0, jnp.int32))
     done = int(state.step)
     all_chain, all_lp = [], []
     while done < n_prod:

@@ -1,0 +1,83 @@
+"""CLI end-to-end: the reference workflow `python mcmcfit.py input.dat`
+reproduced as `python -m lfit_python_tpu.cli fit input.dat` (SURVEY.md §3.1),
+including chain file, checkpoints, resume, params table, and plots."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fit_dir(tmp_path_factory):
+    from lfit_python_tpu.examples import make_synthetic_lightcurve
+
+    d = tmp_path_factory.mktemp("clifit")
+    lc = make_synthetic_lightcurve(n_points=60, noise=0.003, seed=1)
+    np.savetxt(d / "ecl0.txt",
+               np.column_stack([lc.phase, lc.flux, lc.err]))
+    (d / "mcmc_input.dat").write_text("""
+nwalkers = 32
+nburn = 12
+nprod = 16
+neclipses = 1
+complex = 0
+useGP = 0
+scatter_1 = 0.0005
+
+file_0 = ecl0.txt
+band_0 = g
+
+q_core    = 0.15  uniform 0.03 3.0  1
+dphi_core = 0.04  uniform 0.01 0.2  1
+rwd_core  = 0.01  uniform 0.0005 0.1 1
+wdFlux_g = 0.1  uniform 0 1 1
+rsFlux_g = 0.03 uniform 0 1 1
+ulimb_g  = 0.3  gauss 0.3 0.05 0
+dFlux_0 = 0.05 uniform 0 1 1
+sFlux_0 = 0.08 uniform 0 1 1
+rdisc_0 = 0.44 uniform 0.2 0.9 1
+scale_0 = 0.02 log_uniform 1e-4 0.5 1
+az_0    = 160  uniform 50 175 1
+fis_0   = 0.2  uniform 0 1 1
+dexp_0  = 1.5  uniform 0 3 1
+phi0_0  = 0.0  uniform -0.05 0.05 1
+""")
+    return d
+
+
+class TestFitCLI:
+    def test_full_fit_pipeline(self, fit_dir):
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out"
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet",
+                   "--checkpoint-every", "8"])
+        assert rc == 0
+        # chain file exists, parses, has the right shape
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, names = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (16, 32, 13)
+        assert np.isfinite(lnp).all()
+        # params table
+        table = json.loads((out / "params.json").read_text())
+        got = {r["name"]: r["median"] for r in table}
+        assert got["q_core"] == pytest.approx(0.15, abs=0.05)
+        # checkpoints + plots
+        assert (out / "checkpoint_0000016.npz").exists()
+        assert (out / "corner.png").exists()
+        assert (out / "eclipse_0.png").exists()
+        assert (out / "metrics.jsonl").stat().st_size > 0
+
+    def test_resume_continues(self, fit_dir):
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out"  # has checkpoints from the previous test
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet", "--resume",
+                   "--nprod", "24", "--no-plots",
+                   "--checkpoint-every", "8"])
+        assert rc == 0
+        assert (out / "checkpoint_0000024.npz").exists()
