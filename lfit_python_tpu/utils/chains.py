@@ -33,12 +33,13 @@ class ChainWriter:
     the first-class checkpointing in utils/checkpoints.py.
     """
 
-    def __init__(self, path, param_names: Sequence[str]):
+    def __init__(self, path, param_names: Sequence[str], use_native=True):
         self.path = Path(path)
         self.param_names = list(param_names)
         header = "# walker " + " ".join(self.param_names) + " ln_prob\n"
         self.path.write_text(header)
         self._fh = self.path.open("a")
+        self._use_native = use_native
 
     def append(self, positions: np.ndarray, log_probs: np.ndarray):
         """positions (n_steps, W, D) or (W, D); log_probs matching."""
@@ -52,6 +53,11 @@ class ChainWriter:
         rows[:, 0] = np.tile(np.arange(W), n_steps)
         rows[:, 1:-1] = positions.reshape(-1, D)
         rows[:, -1] = log_probs.reshape(-1)
+        if self._use_native:
+            from ..native import chain_write
+            self._fh.flush()
+            if chain_write(self.path, rows):
+                return
         np.savetxt(self._fh, rows,
                    fmt=["%d"] + ["%.10e"] * (D + 1))
         self._fh.flush()
@@ -75,7 +81,10 @@ def read_chain(path):
     names = header.lstrip("#").split()
     assert names[0] == "walker" and names[-1] == "ln_prob"
     names = names[1:-1]
-    raw = np.loadtxt(path)
+    from ..native import chain_read_rows
+    raw = chain_read_rows(path, len(names) + 2)
+    if raw is None:
+        raw = np.loadtxt(path)
     if raw.ndim == 1:
         raw = raw[None]
     W = int(raw[:, 0].max()) + 1

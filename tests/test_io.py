@@ -231,3 +231,41 @@ class TestWDParams:
         got = {row["name"]: row["median"] for row in report["params"]}
         assert got["teff"] == pytest.approx(true_t, rel=0.1)
         assert got["logg"] == pytest.approx(true_g, abs=0.5)
+
+
+class TestNativeChainIO:
+    def test_native_builds_and_matches_numpy(self, tmp_path):
+        from lfit_python_tpu import native
+
+        assert native.native_available(), "g++ toolchain should be present"
+        rng = np.random.default_rng(5)
+        chain = rng.standard_normal((5, 8, 4))
+        lp = rng.standard_normal((5, 8))
+        p_nat = tmp_path / "nat.txt"
+        p_np = tmp_path / "np.txt"
+        with ChainWriter(p_nat, list("abcd"), use_native=True) as w:
+            w.append(chain, lp)
+        with ChainWriter(p_np, list("abcd"), use_native=False) as w:
+            w.append(chain, lp)
+        c1, l1, n1 = read_chain(p_nat)
+        c2, l2, n2 = read_chain(p_np)
+        assert n1 == n2
+        np.testing.assert_allclose(c1, c2, rtol=1e-9)
+        np.testing.assert_allclose(l1, l2, rtol=1e-9)
+
+    def test_native_write_speed(self, tmp_path):
+        import time
+        from lfit_python_tpu import native
+
+        if not native.native_available():
+            pytest.skip("no native lib")
+        rows = np.random.default_rng(0).standard_normal((20000, 32))
+        rows[:, 0] = np.arange(20000) % 64
+        t0 = time.perf_counter()
+        native.chain_write(tmp_path / "big.txt", rows)
+        t_nat = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with (tmp_path / "big_np.txt").open("w") as fh:
+            np.savetxt(fh, rows, fmt=["%d"] + ["%.10e"] * 31)
+        t_np = time.perf_counter() - t0
+        assert t_nat < t_np  # native formatter must beat numpy.savetxt
