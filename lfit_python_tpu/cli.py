@@ -44,6 +44,7 @@ def _fit(args):
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     ln_prob = make_ln_prob(model, dtype=dtype)
+    use_pt = bool(cfg.get("usePT", False))
 
     n_walkers = int(cfg.get("nwalkers", 64))
     n_burn = args.nburn if args.nburn is not None else int(cfg.get("nburn", 100))
@@ -64,6 +65,29 @@ def _fit(args):
         if not args.quiet:
             print(f"[{stage}] step {step} accept={acc:.3f}", flush=True)
 
+    if use_pt:
+        # parallel-tempered path (reference usePT/ntemps [R-low]):
+        # tempering applies to the likelihood only
+        from .models.likelihood import make_ln_prob_parts
+        from .sampling.pt import init_pt, run_pt
+
+        ln_prior_fn, ln_like_fn, _ = make_ln_prob_parts(model, dtype=dtype)
+        n_temps = int(cfg.get("ntemps", 4))
+        t0 = time.time()
+        ptstate = init_pt(jax.random.PRNGKey(args.seed), start, scatter,
+                          ln_prior_fn, ln_like_fn, n_walkers, n_temps)
+        if n_burn > 0:
+            ptstate, _, _ = run_pt(ptstate, ln_prior_fn, ln_like_fn, n_burn)
+        ptstate, chain, lp = run_pt(ptstate, ln_prior_fn, ln_like_fn, n_prod)
+        with ChainWriter(outdir / "chain_prod.txt",
+                         model.var_names()) as writer:
+            writer.append(chain, lp)
+        dt = time.time() - t0
+        print(f"PT ({n_temps} rungs) total {dt:.1f}s")
+        _report(model, chain, lp, outdir, args)
+        _notify_done(args, cfg, outdir)
+        return 0
+
     resume_from = None
     if args.resume:
         from .utils.checkpoints import latest_checkpoint
@@ -82,6 +106,12 @@ def _fit(args):
         mesh = walker_mesh()
         state = shard_state(state, mesh)
         batch_fn = sharded_batch_ln_prob(ln_prob, mesh)
+
+    profile_cm = None
+    if args.profile:
+        from .utils.tracing import trace_to
+        profile_cm = trace_to(args.profile)
+        profile_cm.__enter__()
 
     t0 = time.time()
     if not resume_from and n_burn > 0:
@@ -124,6 +154,8 @@ def _fit(args):
         save_checkpoint(outdir / f"checkpoint_{done:07d}.npz", state,
                         {"input": str(args.input), "stage": "prod"})
     writer.close()
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
 
     chain = np.concatenate(all_chain) if all_chain else np.empty(
         (0, n_walkers, model.n_var))
@@ -132,28 +164,54 @@ def _fit(args):
     n_evals = (n_burn + n_prod) * n_walkers
     print(f"total {dt:.1f}s, ~{n_evals / max(dt, 1e-9):.0f} ln-prob evals/s")
 
-    # ---- report ----------------------------------------------------------
-    if len(chain):
-        table = summarize(chain, model.var_names(),
-                          discard=len(chain) // 4)
-        with (outdir / "params.json").open("w") as fh:
-            json.dump(table, fh, indent=1)
-        print(f"{'parameter':22s} {'median':>12s} {'+err':>10s} {'-err':>10s}")
-        for row in table:
-            print(f"{row['name']:22s} {row['median']:12.6g} "
-                  f"{row['upper']:10.3g} {row['lower']:10.3g}")
-        rhat = gelman_rubin(chain, discard=len(chain) // 4)
-        print("max split-R-hat:", float(np.max(rhat)))
-
-        best = chain.reshape(-1, model.n_var)[np.argmax(lp.reshape(-1))]
-        full_best = model.full_from_var(best)
-        if not args.no_plots:
-            flat = chain[len(chain) // 4:].reshape(-1, model.n_var)
-            corner_plot(flat, model.var_names(), outdir / "corner.png")
-            for k in range(model.n_eclipses):
-                plot_eclipse(model, full_best, k,
-                             path=outdir / f"eclipse_{k}.png")
+    _report(model, chain, lp, outdir, args)
+    _notify_done(args, cfg, outdir)
     return 0
+
+
+def _report(model, chain, lp, outdir, args):
+    """Percentile table, convergence diagnostics, plots (reference post-fit
+    reporting, SURVEY.md §3.1 tail)."""
+    import json as _json
+
+    from .utils.chains import gelman_rubin, summarize
+    from .utils.plotting import corner_plot, plot_eclipse
+
+    if not len(chain):
+        return
+    table = summarize(chain, model.var_names(), discard=len(chain) // 4)
+    with (outdir / "params.json").open("w") as fh:
+        _json.dump(table, fh, indent=1)
+    print(f"{'parameter':22s} {'median':>12s} {'+err':>10s} {'-err':>10s}")
+    for row in table:
+        print(f"{row['name']:22s} {row['median']:12.6g} "
+              f"{row['upper']:10.3g} {row['lower']:10.3g}")
+    rhat = gelman_rubin(chain, discard=len(chain) // 4)
+    print("max split-R-hat:", float(np.max(rhat)))
+
+    best = chain.reshape(-1, model.n_var)[np.argmax(lp.reshape(-1))]
+    full_best = model.full_from_var(best)
+    if not args.no_plots:
+        flat = chain[len(chain) // 4:].reshape(-1, model.n_var)
+        corner_plot(flat, model.var_names(), outdir / "corner.png")
+        for k in range(model.n_eclipses):
+            plot_eclipse(model, full_best, k,
+                         path=outdir / f"eclipse_{k}.png")
+
+
+def _notify_done(args, cfg, outdir):
+    """Completion notification (reference optional notifier [R-low])."""
+    if not (args.notify_cmd or args.notify_file or cfg.get("notify")):
+        return
+    from .utils.notify import notify
+
+    notify(
+        f"lfit_python_tpu fit finished: {args.input}",
+        f"results in {outdir}",
+        cmd=args.notify_cmd,
+        file=args.notify_file or (outdir / "notifications.jsonl"
+                                  if cfg.get("notify") else None),
+    )
 
 
 def _wdparams(args):
@@ -183,6 +241,12 @@ def main(argv=None):
     fit.add_argument("--checkpoint-every", type=int, default=500)
     fit.add_argument("--no-plots", action="store_true")
     fit.add_argument("--quiet", action="store_true")
+    fit.add_argument("--profile", default=None, metavar="DIR",
+                     help="capture a jax.profiler device trace to DIR")
+    fit.add_argument("--notify-cmd", default=None,
+                     help="shell command to notify on completion")
+    fit.add_argument("--notify-file", default=None,
+                     help="append a JSON completion record to this file")
     fit.set_defaults(func=_fit)
 
     wd = sub.add_parser("wdparams",

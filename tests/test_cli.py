@@ -81,3 +81,24 @@ class TestFitCLI:
                    "--checkpoint-every", "8"])
         assert rc == 0
         assert (out / "checkpoint_0000024.npz").exists()
+
+
+class TestPTCLI:
+    def test_pt_fit_runs(self, fit_dir):
+        from lfit_python_tpu.cli import main
+
+        # enable PT in a copy of the input
+        inp = (fit_dir / "mcmc_input.dat").read_text()
+        pt_inp = fit_dir / "mcmc_input_pt.dat"
+        pt_inp.write_text(inp + "\nusePT = 1\nntemps = 3\n")
+        out = fit_dir / "out_pt"
+        rc = main(["fit", str(pt_inp), "--outdir", str(out), "--quiet",
+                   "--nburn", "6", "--nprod", "8", "--no-plots",
+                   "--notify-file", str(out / "done.jsonl")])
+        assert rc == 0
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, names = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (8, 32, 13)
+        assert np.isfinite(lnp).all()
+        # notifier fired
+        assert (out / "done.jsonl").exists()
