@@ -30,6 +30,7 @@ from ..roche.geometry import (
     contact_interval,
     earth_vector,
     lobe_radius,
+    origin_shadow_distance,
     ray_clearance,
     roche_potential,
     visible_fraction_interval,
@@ -106,10 +107,14 @@ def wd_visible_fraction(q, incl_deg, phase, rwd, ulimb, xl1_val, phi_l1):
 
 
 def wd_flux(q, incl_deg, phases, rwd, ulimb, xl1_val, phi_l1):
-    """Normalised WD light curve over ``phases`` (out of eclipse == 1)."""
-    return jax.vmap(
-        lambda ph: wd_visible_fraction(q, incl_deg, ph, rwd, ulimb, xl1_val, phi_l1)
-    )(phases)
+    """Normalised WD light curve over ``phases`` (out of eclipse == 1).
+
+    Uses the componentwise batched shadow-distance path (fast on TPU);
+    :func:`wd_visible_fraction` is the scalar oracle for it.
+    """
+    d, clear = origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1)
+    x = jnp.where(clear > 0.25, 1.0, jnp.clip(d / rwd, -1.0, 1.0))
+    return _edge_visible_fraction(x, ulimb)
 
 
 # ---------------------------------------------------------------------------
@@ -278,29 +283,63 @@ def donor_grid(q, xl1_val, phi_l1, n_lat=16, n_lon=24, dtype=jnp.float64):
     bisection), the outward normal is grad(Phi)/|grad(Phi)| and the area
     element r^2 dOmega / (d_hat . n_hat).  The grid is offset off the poles
     and off the exact L1 axis (where grad(Phi) -> 0).
+
+    Componentwise implementation (no (.., 3) intermediates in the solve
+    loop — those pad to 128-lane tiles on TPU; see contact_interval's
+    layout note).
     """
     th = (jnp.arange(n_lat, dtype=dtype) + 0.5) / n_lat * jnp.pi      # polar
     phl = (jnp.arange(n_lon, dtype=dtype) + 0.5) / n_lon * 2.0 * jnp.pi
     TH, PH = jnp.meshgrid(th, phl, indexing="ij")
-    dirs = jnp.stack(
-        [jnp.sin(TH) * jnp.cos(PH), jnp.sin(TH) * jnp.sin(PH), jnp.cos(TH)],
-        axis=-1,
-    ).reshape(-1, 3)                                                   # (N,3)
+    dx = (jnp.sin(TH) * jnp.cos(PH)).reshape(-1)
+    dy = (jnp.sin(TH) * jnp.sin(PH)).reshape(-1)
+    dz = jnp.cos(TH).reshape(-1)
     d_omega = (
         (jnp.pi / n_lat) * (2.0 * jnp.pi / n_lon) * jnp.sin(TH)
     ).reshape(-1)
 
-    c2 = jnp.array([1.0, 0.0, 0.0], dtype=dtype)
+    mu = q / (1.0 + q)
+    rmax = 1.0 - xl1_val
 
-    def one(d):
-        r = lobe_radius(q, d, xl1_val, phi_l1)
-        pos = c2 + r * d
-        g = jax.grad(lambda p: roche_potential(q, p))(pos)
-        n = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
-        return pos, n, r
+    def lobe_f(r):
+        # Phi(c2 + r*d) - Phi_L1, with r1^2 = 1 + 2 r dx + r^2, r2 = r
+        i1 = jax.lax.rsqrt(1.0 + 2.0 * r * dx + r * r)
+        cx = 1.0 + r * dx - mu
+        cy = r * dy
+        return (-(1.0 - mu) * i1 - mu / r
+                - 0.5 * (cx * cx + cy * cy)) - phi_l1
 
-    pos, nrm, r = jax.vmap(one)(dirs)
-    mu_dn = jnp.maximum(jnp.sum(dirs * nrm, axis=-1), 1e-3)
+    lo = jnp.full_like(dx, 1e-6) * rmax
+    hi = jnp.full_like(dx, rmax)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        inside = lobe_f(mid) < 0.0
+        lo = jnp.where(inside, mid, lo)
+        hi = jnp.where(inside, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 54, body, (lo, hi))
+    r = 0.5 * (lo + hi)
+
+    # positions and outward normals (grad Phi), componentwise
+    px = 1.0 + r * dx
+    py = r * dy
+    pz = r * dz
+    i1 = jax.lax.rsqrt(px * px + py * py + pz * pz)
+    i2 = 1.0 / r
+    i13 = i1 * i1 * i1
+    i23 = i2 * i2 * i2
+    gx = (1.0 - mu) * px * i13 + mu * (px - 1.0) * i23 - (px - mu)
+    gy = py * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+    gz = pz * ((1.0 - mu) * i13 + mu * i23)
+    gn = jnp.maximum(jnp.sqrt(gx * gx + gy * gy + gz * gz), 1e-12)
+    nx, ny, nz = gx / gn, gy / gn, gz / gn
+
+    pos = jnp.stack([px, py, pz], axis=-1)
+    nrm = jnp.stack([nx, ny, nz], axis=-1)
+    mu_dn = jnp.maximum(dx * nx + dy * ny + dz * nz, 1e-3)
     areas = r * r * d_omega / mu_dn
     return DonorGrid(pos, nrm, areas)
 

@@ -312,6 +312,90 @@ def eclipse_half_width(q, incl_deg, p=None, xl1_val=None, phi_l1=None):
     return jnp.where(eclipsed_at_0, 0.5 * (lo + hi), jnp.nan)
 
 
+def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
+    """Signed sky-plane distance of the WD centre (origin) from the donor's
+    shadow terminator, for a batch of phases — the quantity the analytic
+    white-dwarf partial-eclipse fraction consumes (models/components.py).
+
+    Positive = visible side.  Componentwise specialisation of
+    :func:`ray_clearance` at p = 0 (where the ray geometry collapses:
+    r1 = t, b1 = 0) — the general path's (.., 3)-vector intermediates pad
+    to 128-lane tiles on TPU and cost ~8x more.
+
+    Returns (distance (P,), clearance (P,)).
+    """
+    dtype = jnp.result_type(phases, float)
+    phases = jnp.asarray(phases, dtype)
+    mu = q / (1.0 + q)
+    i_rad = jnp.deg2rad(jnp.asarray(incl_deg, dtype))
+    si, ci = jnp.sin(i_rad), jnp.cos(i_rad)
+    rad = 1.0 - xl1_val
+    th = 2.0 * jnp.pi * phases
+    ex = si * jnp.cos(th)
+    ey = -si * jnp.sin(th)
+
+    # ray from the origin: r1 = t; r2^2 = t^2 - 2 ex t + 1
+    tstar = ex                                  # w = (1,0,0); w.e = ex
+    disc = rad * rad - (1.0 - tstar * tstar)
+    half = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_lo = jnp.maximum(tstar - half, 1e-6)
+    t_hi = jnp.maximum(tstar + half, 1e-6)
+    no_occ = (disc <= 0.0) | (tstar + half <= 1e-9)
+
+    def g_val(t):
+        i2 = jax.lax.rsqrt(t * t - 2.0 * ex * t + 1.0)
+        cx = t * ex - mu
+        cy = t * ey
+        return -(1.0 - mu) / t - mu * i2 - 0.5 * (cx * cx + cy * cy)
+
+    def g_derivs(t):
+        i2 = jax.lax.rsqrt(t * t - 2.0 * ex * t + 1.0)
+        u2 = t - ex
+        i23 = i2 * i2 * i2
+        cx = t * ex - mu
+        cy = t * ey
+        ee2 = ex * ex + ey * ey
+        g1 = (1.0 - mu) / (t * t) + mu * u2 * i23 - (cx * ex + cy * ey)
+        g2 = (-2.0 * (1.0 - mu) / (t * t * t)
+              + mu * (i23 - 3.0 * u2 * u2 * i23 * i2 * i2) - ee2)
+        return g1, g2
+
+    span = t_hi - t_lo
+    t_best = t_lo
+    v_best = g_val(t_lo)
+    for k in range(1, _CLEAR_GRID):
+        tk = t_lo + span * (k / (_CLEAR_GRID - 1))
+        vk = g_val(tk)
+        take = vk < v_best
+        t_best = jnp.where(take, tk, t_best)
+        v_best = jnp.where(take, vk, v_best)
+    spacing = span / (_CLEAR_GRID - 1)
+    n_lo = jnp.maximum(t_best - spacing, t_lo)
+    n_hi = jnp.minimum(t_best + spacing, t_hi)
+    t = t_best
+    for _ in range(_CLEAR_NEWTON):
+        g1, g2 = g_derivs(t)
+        step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
+        t = jnp.clip(t - step, n_lo, n_hi)
+    val = jnp.minimum(g_val(t), v_best)
+    clear = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
+
+    # grad(Phi) at the minimising point, perpendicular to the line of sight
+    rx, ry, rz = t * ex, t * ey, t * ci
+    i1 = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+    dx = rx - 1.0
+    i2 = jax.lax.rsqrt(dx * dx + ry * ry + rz * rz)
+    i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+    gx = (1.0 - mu) * rx * i13 + mu * dx * i23 - (rx - mu)
+    gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+    gz = rz * ((1.0 - mu) * i13 + mu * i23)
+    gdote = gx * ex + gy * ey + gz * ci
+    px_, py_, pz_ = gx - gdote * ex, gy - gdote * ey, gz - gdote * ci
+    g_norm = jnp.maximum(
+        jnp.sqrt(px_ * px_ + py_ * py_ + pz_ * pz_), 1e-12)
+    return clear / g_norm, clear
+
+
 _CONTACT_ITERS = 18      # safeguarded-Newton iterations per contact
 _CONTACT_T_ITERS = 3     # warm-started inner Newton steps for the ray min
 _CONTACT_GRID = 6        # coarse re-seed scan points per phi iteration

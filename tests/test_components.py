@@ -234,3 +234,14 @@ class TestCVOrchestrator:
         out = cv_fluxes(jnp.asarray(pars), jnp.linspace(-0.1, 0.1, 21),
                         config=CVConfig(complex_spot=True))
         assert np.isfinite(np.asarray(out.total)).all()
+
+
+class TestWDFastPath:
+    def test_batched_wd_matches_scalar_oracle(self, geom):
+        x1, pl1, incl = geom
+        phases = jnp.linspace(-0.06, 0.06, 121)
+        fast = np.asarray(comp.wd_flux(Q, incl, phases, 0.012, 0.35, x1, pl1))
+        slow = np.asarray(jax.vmap(
+            lambda ph: comp.wd_visible_fraction(
+                Q, incl, ph, 0.012, 0.35, x1, pl1))(phases))
+        np.testing.assert_allclose(fast, slow, atol=1e-9)
