@@ -21,6 +21,8 @@ __all__ = [
     "flatchain",
     "gelman_rubin",
     "autocorr_time",
+    "rebin",
+    "to_arviz",
     "summarize",
 ]
 
@@ -137,6 +139,37 @@ def autocorr_time(chain, c=5.0):
         idx = np.argmin(window) if not window.all() else n - 1
         taus[j] = taus_cum[max(idx, 1)]
     return taus
+
+
+def rebin(phase, flux, err, factor):
+    """Rebin a light curve by an integer factor with inverse-variance
+    weighting (reference ``mcmc_utils.rebin`` [R]). Trailing remainder
+    points are dropped."""
+    n = (len(phase) // factor) * factor
+    ph = np.asarray(phase)[:n].reshape(-1, factor)
+    fl = np.asarray(flux)[:n].reshape(-1, factor)
+    er = np.asarray(err)[:n].reshape(-1, factor)
+    w = 1.0 / np.maximum(er, 1e-300) ** 2
+    wsum = w.sum(axis=1)
+    return (ph.mean(axis=1),
+            (fl * w).sum(axis=1) / wsum,
+            1.0 / np.sqrt(wsum))
+
+
+def to_arviz(chain, param_names, log_prob=None):
+    """Chain -> ``arviz.InferenceData`` if arviz is importable, else a
+    plain xarray-style dict {name: (chain=walker, draw) array} (SURVEY.md
+    §5.5 "ArviZ-compatible chain output")."""
+    x = np.asarray(chain)          # (draw, walker, dim) -> (walker, draw)
+    data = {n: x[:, :, i].T for i, n in enumerate(param_names)}
+    if log_prob is not None:
+        data["ln_prob"] = np.asarray(log_prob).T
+    try:
+        import arviz
+
+        return arviz.from_dict(posterior=data)
+    except Exception:
+        return data
 
 
 def summarize(chain, param_names, discard=0, percentiles=(16, 50, 84)):

@@ -269,3 +269,26 @@ class TestNativeChainIO:
             np.savetxt(fh, rows, fmt=["%d"] + ["%.10e"] * 31)
         t_np = time.perf_counter() - t0
         assert t_nat < t_np  # native formatter must beat numpy.savetxt
+
+
+class TestRebinArviz:
+    def test_rebin_inverse_variance(self):
+        from lfit_python_tpu.utils.chains import rebin
+
+        ph = np.arange(10, dtype=float)
+        fl = np.ones(10)
+        er = np.full(10, 0.2)
+        p2, f2, e2 = rebin(ph, fl, er, 2)
+        assert p2.shape == (5,)
+        np.testing.assert_allclose(f2, 1.0)
+        np.testing.assert_allclose(e2, 0.2 / np.sqrt(2))
+
+    def test_to_arviz_dict_fallback(self):
+        from lfit_python_tpu.utils.chains import to_arviz
+
+        chain = np.random.default_rng(0).standard_normal((20, 8, 2))
+        out = to_arviz(chain, ["a", "b"])
+        if isinstance(out, dict):
+            assert out["a"].shape == (8, 20)
+        else:  # arviz available
+            assert set(out.posterior.data_vars) >= {"a", "b"}
