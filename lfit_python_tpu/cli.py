@@ -26,6 +26,7 @@ def _fit(args):
     import jax
     import jax.numpy as jnp
 
+    from .models.cv import CVConfig
     from .models.likelihood import make_ln_prob
     from .parallel.mesh import (
         shard_state, sharded_batch_ln_prob, walker_mesh)
@@ -43,7 +44,12 @@ def _fit(args):
     dtype = jnp.float64 if args.x64 else jnp.float32
     if args.x64:
         jax.config.update("jax_enable_x64", True)
-    ln_prob = make_ln_prob(model, dtype=dtype)
+    # element-grid fidelity: 'full' matches the reference's ~1000-element
+    # tiling; 'low' is for quick looks and CI
+    cvcfg = (CVConfig() if args.resolution == "full"
+             else CVConfig(n_disc_rad=5, n_disc_az=8, n_spot=8,
+                           n_donor_lat=6, n_donor_lon=8))
+    ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
 
     n_walkers = int(cfg.get("nwalkers", 64))
@@ -71,7 +77,8 @@ def _fit(args):
         from .models.likelihood import make_ln_prob_parts
         from .sampling.pt import init_pt, run_pt
 
-        ln_prior_fn, ln_like_fn, _ = make_ln_prob_parts(model, dtype=dtype)
+        ln_prior_fn, ln_like_fn, _ = make_ln_prob_parts(
+            model, config=cvcfg, dtype=dtype)
         n_temps = int(cfg.get("ntemps", 4))
         t0 = time.time()
         ptstate = init_pt(jax.random.PRNGKey(args.seed), start, scatter,
@@ -239,6 +246,9 @@ def main(argv=None):
     fit.add_argument("--resume", action="store_true",
                      help="resume from the latest checkpoint in outdir")
     fit.add_argument("--checkpoint-every", type=int, default=500)
+    fit.add_argument("--resolution", choices=("full", "low"),
+                     default="full",
+                     help="element-grid fidelity (low: quick looks/CI)")
     fit.add_argument("--no-plots", action="store_true")
     fit.add_argument("--quiet", action="store_true")
     fit.add_argument("--profile", default=None, metavar="DIR",

@@ -163,7 +163,7 @@ def disc_flux(q, incl_deg, phases, positions, weights, xl1_val, phi_l1):
 # ---------------------------------------------------------------------------
 
 def spot_elements(q, rdisc, scale, az_deg, exp1, exp2, n_elem=32,
-                  max_extent=5.0, dtype=jnp.float64):
+                  max_extent=5.0, dtype=jnp.float64, impact=None):
     """Element positions and weights for the bright-spot strip.
 
     The strip starts at the gas-stream / disc-rim impact point (ballistic
@@ -178,7 +178,8 @@ def spot_elements(q, rdisc, scale, az_deg, exp1, exp2, n_elem=32,
     model frees both [R-med]).  Elements sample l in (0, max_extent*scale].
     Weights are normalised to sum to 1.
     """
-    impact = spot_position(q, rdisc)
+    if impact is None:
+        impact = spot_position(q, rdisc)
     azr = jnp.deg2rad(jnp.asarray(az_deg, dtype))
     tdir = jnp.array([jnp.cos(azr), jnp.sin(azr), 0.0], dtype=dtype)
     l = (jnp.arange(n_elem, dtype=dtype) + 0.5) / n_elem * max_extent * scale

@@ -50,6 +50,9 @@ __all__ = [
     "COMPLEX_PARAM_NAMES",
     "CVConfig",
     "CVFluxes",
+    "CVGeometry",
+    "cv_geometry",
+    "cv_physical_ok",
     "cv_fluxes",
     "cv_total_flux",
 ]
@@ -86,6 +89,45 @@ class CVFluxes(NamedTuple):
     ysec: jax.Array
 
 
+class CVGeometry(NamedTuple):
+    """Per-walker geometry solves shared by the physical-validity prior and
+    the flux model — the reference's geometry cache (``CV::set_parameters``
+    [R]) computed exactly once per parameter vector."""
+    x1: jax.Array           # L1 distance
+    pl1: jax.Array          # L1 potential
+    incl: jax.Array         # inclination (deg; NaN if infeasible)
+    rdisc: jax.Array        # disc radius in separation units
+    spot_impact: jax.Array  # (3,) stream / disc-rim impact point
+
+
+def cv_geometry(pars, config: CVConfig = CVConfig()) -> CVGeometry:
+    """Solve the per-parameter-vector geometry (L1, inclination, stream)."""
+    from ..roche.stream import spot_position
+
+    pars = jnp.asarray(pars)
+    q, dphi, rdisc_x = pars[4], pars[5], pars[6]
+    x1 = xl1(q)
+    pl1 = l1_potential(q, x1)
+    incl = findi(q, dphi, x1, pl1)
+    rdisc = rdisc_x * x1
+    impact = spot_position(q, rdisc)
+    return CVGeometry(x1, pl1, incl, rdisc, impact)
+
+
+def cv_physical_ok(pars, geom: CVGeometry):
+    """Physical-validity conditions (reference ``CVModel.py`` priors via
+    ``trm.roche`` [R]): feasible (q, dphi); WD inside the disc; the gas
+    stream actually reaches the disc rim (bright spot on the disc)."""
+    rwd = pars[8]
+    spot_r = jnp.linalg.norm(geom.spot_impact)
+    return (
+        jnp.isfinite(geom.incl)
+        & (rwd < geom.rdisc)
+        & (spot_r <= geom.rdisc * (1.0 + 1e-3))
+        & (spot_r > rwd)
+    )
+
+
 def _expand_exposure(phases, widths, n_sub):
     """Subdivide each exposure into n_sub sub-phases (reference: finite
     exposure smearing in ``CV::calcFlux`` [R]). (P,) -> (P*n_sub,)."""
@@ -94,12 +136,15 @@ def _expand_exposure(phases, widths, n_sub):
     return sub.reshape(-1)
 
 
-def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig()):
+def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
+              geometry: CVGeometry | None = None):
     """Evaluate the four-component CV model over a phase grid.
 
     ``pars``: (14,) or (18,) parameter vector (see module docstring);
     ``phases``: (P,) orbital phases; ``widths``: (P,) exposure phase widths
     (None -> instantaneous). Returns :class:`CVFluxes` of (P,) arrays.
+    ``geometry``: precomputed :func:`cv_geometry` (shared with the
+    physical-validity check by the fused posterior).
 
     Pure and jit/vmap-safe: batch over walkers with ``jax.vmap`` on ``pars``.
     Invalid geometry (non-eclipsing dphi for any inclination) yields NaNs,
@@ -118,15 +163,16 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig()):
         yaw = jnp.asarray(0.0, dtype)
 
     # ---- per-walker geometry (the reference's "geometry cache" work) ----
-    x1 = xl1(q)
-    pl1 = l1_potential(q, x1)
-    incl = findi(q, dphi, x1, pl1)
-    rdisc = rdisc_x * x1
+    if geometry is None:
+        geometry = cv_geometry(pars, config)
+    x1, pl1, incl, rdisc = (geometry.x1, geometry.pl1, geometry.incl,
+                            geometry.rdisc)
 
     disc_pos, disc_w = comp.disc_elements(
         rwd, rdisc, dexp, config.n_disc_rad, config.n_disc_az, dtype)
     spot_pos, spot_w = comp.spot_elements(
-        q, rdisc, scale, az, exp1, exp2, config.n_spot, dtype=dtype)
+        q, rdisc, scale, az, exp1, exp2, config.n_spot, dtype=dtype,
+        impact=geometry.spot_impact)
     normal = comp.spot_normal(az, tilt, yaw, dtype)
     dgrid = comp.donor_grid(
         q, x1, pl1, config.n_donor_lat, config.n_donor_lon, dtype)
@@ -172,6 +218,7 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig()):
     return CVFluxes(total, ywd, ydisc, yspot, ysec)
 
 
-def cv_total_flux(pars, phases, widths=None, config: CVConfig = CVConfig()):
+def cv_total_flux(pars, phases, widths=None, config: CVConfig = CVConfig(),
+                  geometry: CVGeometry | None = None):
     """Total model flux only (the likelihood hot path)."""
-    return cv_fluxes(pars, phases, widths, config).total
+    return cv_fluxes(pars, phases, widths, config, geometry).total

@@ -152,15 +152,37 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         return jnp.sum(lls)
 
     def ln_prob(var_vec):
-        lp = ln_prior(var_vec)
-        valid = jnp.isfinite(lp)
-        # evaluate the likelihood at the start vector for invalid walkers so
-        # no NaN is ever produced (the result is discarded via where)
-        safe = jnp.where(
-            valid, var_vec,
-            jnp.asarray(model.var_start(), var_vec.dtype))
-        ll = ln_like(safe)
-        return jnp.where(valid, lp + ll, -jnp.inf)
+        """Fused posterior: each eclipse's geometry (L1, inclination,
+        stream) is solved ONCE and shared between the physical-validity
+        check and the flux model — the reference solves these twice, once
+        in the tree's prior walk via trm.roche and again inside
+        ``CV::set_parameters`` (SURVEY.md §3.1).  NaNs from invalid
+        geometry are discarded by the final where, never propagated.
+        """
+        from .cv import cv_geometry, cv_physical_ok
+
+        full = model.full_from_var(var_vec.astype(dtype))
+        lp = ln_prior_table(full, prior_table)
+        cvp = model.cv_params(full)                      # (E, 18)
+
+        def one_ecl(k, pars):
+            geom = cv_geometry(pars, config)
+            ok = cv_physical_ok(pars, geom)
+            mflux = cv_total_flux(pars, data.phase[k], data.width[k],
+                                  config, geometry=geom)
+            if gp_ln_like is None:
+                ll = _chi2_ln_like(mflux, data, k)
+            else:
+                gp_pars = full[data.gp_idx[k]]
+                ll = jnp.where(
+                    use_gp[k],
+                    gp_ln_like(pars, mflux, gp_pars, data, k),
+                    _chi2_ln_like(mflux, data, k))
+            return jnp.where(ok, ll, -jnp.inf)
+
+        lls = jax.vmap(one_ecl)(jnp.arange(model.n_eclipses), cvp)
+        total = lp + jnp.sum(lls)
+        return jnp.where(jnp.isfinite(total), total, -jnp.inf)
 
     return ln_prior, ln_like, ln_prob
 

@@ -256,14 +256,16 @@ def findi(q, dphi, xl1_val=None, phi_l1=None):
         xl1_val = xl1(q)
     if phi_l1 is None:
         phi_l1 = l1_potential(q, xl1_val)
-    origin = jnp.zeros(3, dtype=jnp.result_type(q, dphi, float))
+    dtype = jnp.result_type(q, dphi, float)
 
     def clear_at(i_deg):
-        e = earth_vector(0.5 * dphi, i_deg)
-        return ray_clearance(q, origin, e, xl1_val, phi_l1)
+        # componentwise origin clearance (see origin_shadow_distance)
+        _, c = origin_shadow_distance(
+            q, i_deg, jnp.asarray([0.5 * dphi], dtype), xl1_val, phi_l1)
+        return c[0]
 
-    lo = jnp.asarray(1.0, origin.dtype)
-    hi = jnp.asarray(90.0, origin.dtype)
+    lo = jnp.asarray(1.0, dtype)
+    hi = jnp.asarray(90.0, dtype)
 
     def body(_, carry):
         lo, hi = carry
@@ -275,7 +277,7 @@ def findi(q, dphi, xl1_val=None, phi_l1=None):
 
     lo, hi = jax.lax.fori_loop(0, _FINDI_ITERS, body, (lo, hi))
     i_sol = 0.5 * (lo + hi)
-    feasible = clear_at(jnp.asarray(90.0, origin.dtype)) <= 0.0
+    feasible = clear_at(jnp.asarray(90.0, dtype)) <= 0.0
     return jnp.where(feasible, i_sol, jnp.nan)
 
 

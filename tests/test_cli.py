@@ -53,7 +53,7 @@ class TestFitCLI:
 
         out = fit_dir / "out"
         rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
-                   "--outdir", str(out), "--quiet",
+                   "--outdir", str(out), "--quiet", "--resolution", "low",
                    "--checkpoint-every", "8"])
         assert rc == 0
         # chain file exists, parses, has the right shape
@@ -77,6 +77,7 @@ class TestFitCLI:
         out = fit_dir / "out"  # has checkpoints from the previous test
         rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
                    "--outdir", str(out), "--quiet", "--resume",
+                   "--resolution", "low",
                    "--nprod", "24", "--no-plots",
                    "--checkpoint-every", "8"])
         assert rc == 0
@@ -94,6 +95,7 @@ class TestPTCLI:
         out = fit_dir / "out_pt"
         rc = main(["fit", str(pt_inp), "--outdir", str(out), "--quiet",
                    "--nburn", "6", "--nprod", "8", "--no-plots",
+                   "--resolution", "low",
                    "--notify-file", str(out / "done.jsonl")])
         assert rc == 0
         from lfit_python_tpu.utils.chains import read_chain
