@@ -89,25 +89,29 @@ def _kernel(q_ref, si_ref, ci_ref, xl1_ref, pl1_ref, px_ref, py_ref,
               - (ex * ex + ey * ey))
         return val, g1, g2
 
-    def t_minimum(ex, ey, t_warm=None):
+    def t_minimum(ex, ey, t_warm=None, use_grid=True):
         t_lo, t_hi, no_occ = ray_bracket(ex, ey)
         b1 = px * ex + py * ey
         b2 = b1 - ex
         span = t_hi - t_lo
-        t_best = t_lo
-        v_best = g_val(t_lo, ex, ey, b1, b2)
-        for k in range(1, G._CONTACT_GRID):
-            tk = t_lo + span * (k / (G._CONTACT_GRID - 1))
-            vk = g_val(tk, ex, ey, b1, b2)
-            take = vk < v_best
-            t_best = jnp.where(take, tk, t_best)
-            v_best = jnp.where(take, vk, v_best)
-        if t_warm is not None:
-            tw = jnp.clip(t_warm, t_lo, t_hi)
-            vw = g_val(tw, ex, ey, b1, b2)
-            take = vw < v_best
-            t_best = jnp.where(take, tw, t_best)
-            v_best = jnp.where(take, vw, v_best)
+        if use_grid:
+            t_best = t_lo
+            v_best = g_val(t_lo, ex, ey, b1, b2)
+            for k in range(1, G._CONTACT_GRID):
+                tk = t_lo + span * (k / (G._CONTACT_GRID - 1))
+                vk = g_val(tk, ex, ey, b1, b2)
+                take = vk < v_best
+                t_best = jnp.where(take, tk, t_best)
+                v_best = jnp.where(take, vk, v_best)
+            if t_warm is not None:
+                tw = jnp.clip(t_warm, t_lo, t_hi)
+                vw = g_val(tw, ex, ey, b1, b2)
+                take = vw < v_best
+                t_best = jnp.where(take, tw, t_best)
+                v_best = jnp.where(take, vw, v_best)
+        else:
+            t_best = jnp.clip(t_warm, t_lo, t_hi)
+            v_best = g_val(t_best, ex, ey, b1, b2)
         spacing = span / (G._CONTACT_GRID - 1)
         n_lo = jnp.maximum(t_best - spacing, t_lo)
         n_hi = jnp.minimum(t_best + spacing, t_hi)
@@ -144,23 +148,28 @@ def _kernel(q_ref, si_ref, ci_ref, xl1_ref, pl1_ref, px_ref, py_ref,
         hi = phi_c + sign * 0.25 + jnp.zeros_like(c_mid)
         phi0 = phi_c + sign * 0.125 + jnp.zeros_like(c_mid)
 
-        def body(_, carry):
-            phi, t, lo, hi = carry
-            ex, ey = earth_xy(phi)
-            t, c, no_occ = t_minimum(ex, ey, t_warm=t)
-            lo = jnp.where(c < 0.0, phi, lo)
-            hi = jnp.where(c < 0.0, hi, phi)
-            d = dc_dphi(t, ex, ey)
-            phi_newton = phi - c / jnp.where(
-                jnp.abs(d) > 1e-12, d, jnp.inf)
-            inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
-            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-            phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-            return phi, t, lo, hi
+        def make_body(use_grid):
+            def body(_, carry):
+                phi, t, lo, hi = carry
+                ex, ey = earth_xy(phi)
+                t, c, no_occ = t_minimum(ex, ey, t_warm=t,
+                                         use_grid=use_grid)
+                lo = jnp.where(c < 0.0, phi, lo)
+                hi = jnp.where(c < 0.0, hi, phi)
+                d = dc_dphi(t, ex, ey)
+                phi_newton = phi - c / jnp.where(
+                    jnp.abs(d) > 1e-12, d, jnp.inf)
+                inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
+                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+                phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
+                return phi, t, lo, hi
+            return body
 
-        phi, _, lo, hi = jax.lax.fori_loop(
-            0, G._CONTACT_ITERS, body,
+        carry = jax.lax.fori_loop(
+            0, G._CONTACT_ITERS, make_body(True),
             (phi0, t_c + jnp.zeros_like(c_mid), lo, hi))
+        phi, _, lo, hi = jax.lax.fori_loop(
+            0, G._CONTACT_POLISH, make_body(False), carry)
         return 0.5 * (lo + hi)
 
     phi_in_ref[:] = jnp.where(eclipsed, edge(-1.0), phi_c + 0.0 * c_mid)

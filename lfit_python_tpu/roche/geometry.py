@@ -398,7 +398,8 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
     return clear / g_norm, clear
 
 
-_CONTACT_ITERS = 18      # safeguarded-Newton iterations per contact
+_CONTACT_ITERS = 8       # safeguarded iterations with grid re-scan
+_CONTACT_POLISH = 10     # further warm-start-only iterations (bracket small)
 _CONTACT_T_ITERS = 3     # warm-started inner Newton steps for the ray min
 _CONTACT_GRID = 6        # coarse re-seed scan points per phi iteration
 
@@ -501,27 +502,33 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
               - (ex * ex + ey * ey))
         return val, g1, g2
 
-    def t_minimum(ex, ey, t_warm=None):
+    def t_minimum(ex, ey, t_warm=None, use_grid=True):
         """Ray-minimum t on the sphere chord: coarse scan (+ warm start)
-        then clamped Newton."""
+        then clamped Newton.  With ``use_grid=False`` only the warm start
+        is refined — valid once the outer phi bracket is small, where the
+        warm t tracks the true minimum locally (the polish stage)."""
         t_lo, t_hi, no_occ = ray_bracket(ex, ey)
         b1 = px * ex + py * ey
         b2 = b1 - ex                      # (p - c2) . e, z = 0
         span = t_hi - t_lo
-        t_best = t_lo
-        v_best = g_val(t_lo, ex, ey, b1, b2)
-        for k in range(1, _CONTACT_GRID):
-            tk = t_lo + span * (k / (_CONTACT_GRID - 1))
-            vk = g_val(tk, ex, ey, b1, b2)
-            take = vk < v_best
-            t_best = jnp.where(take, tk, t_best)
-            v_best = jnp.where(take, vk, v_best)
-        if t_warm is not None:
-            tw = jnp.clip(t_warm, t_lo, t_hi)
-            vw = g_val(tw, ex, ey, b1, b2)
-            take = vw < v_best
-            t_best = jnp.where(take, tw, t_best)
-            v_best = jnp.where(take, vw, v_best)
+        if use_grid:
+            t_best = t_lo
+            v_best = g_val(t_lo, ex, ey, b1, b2)
+            for k in range(1, _CONTACT_GRID):
+                tk = t_lo + span * (k / (_CONTACT_GRID - 1))
+                vk = g_val(tk, ex, ey, b1, b2)
+                take = vk < v_best
+                t_best = jnp.where(take, tk, t_best)
+                v_best = jnp.where(take, vk, v_best)
+            if t_warm is not None:
+                tw = jnp.clip(t_warm, t_lo, t_hi)
+                vw = g_val(tw, ex, ey, b1, b2)
+                take = vw < v_best
+                t_best = jnp.where(take, tw, t_best)
+                v_best = jnp.where(take, vw, v_best)
+        else:
+            t_best = jnp.clip(t_warm, t_lo, t_hi)
+            v_best = g_val(t_best, ex, ey, b1, b2)
         # Newton clamped to one grid spacing around the best point: the
         # potential well along the chord can be much narrower than the
         # span, and unclamped Newton ping-pongs across it
@@ -562,28 +569,36 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
         return t * two_pi * (gx * ey - gy * ex)
 
     def edge(sign):
-        """Safeguarded Newton for c(phi) = 0 on [phi_c, phi_c + sign/4]."""
+        """Safeguarded Newton for c(phi) = 0 on [phi_c, phi_c + sign/4]:
+        a grid-seeded stage that shrinks the bracket safely, then a cheap
+        warm-start-only polish stage (small phi steps -> the warm t tracks
+        the ray minimum without a re-scan)."""
         lo = phi_c                       # eclipsed end
         hi = phi_c + sign * 0.25         # visible end
         phi0 = phi_c + sign * 0.125
 
-        def body(_, carry):
-            phi, t, lo, hi = carry
-            ex, ey = earth_xy(phi)
-            t, c, no_occ = t_minimum(ex, ey, t_warm=t)
-            # update the bracket (lo stays eclipsed, hi stays visible)
-            lo = jnp.where(c < 0.0, phi, lo)
-            hi = jnp.where(c < 0.0, hi, phi)
-            d = dc_dphi(t, phi, ex, ey)
-            phi_newton = phi - c / jnp.where(
-                jnp.abs(d) > 1e-12, d, jnp.inf)
-            inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
-            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-            phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-            return phi, t, lo, hi
+        def make_body(use_grid):
+            def body(_, carry):
+                phi, t, lo, hi = carry
+                ex, ey = earth_xy(phi)
+                t, c, no_occ = t_minimum(ex, ey, t_warm=t,
+                                         use_grid=use_grid)
+                # update the bracket (lo stays eclipsed, hi stays visible)
+                lo = jnp.where(c < 0.0, phi, lo)
+                hi = jnp.where(c < 0.0, hi, phi)
+                d = dc_dphi(t, phi, ex, ey)
+                phi_newton = phi - c / jnp.where(
+                    jnp.abs(d) > 1e-12, d, jnp.inf)
+                inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
+                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+                phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
+                return phi, t, lo, hi
+            return body
 
+        carry = jax.lax.fori_loop(
+            0, _CONTACT_ITERS, make_body(True), (phi0, t_c, lo, hi))
         phi, _, lo, hi = jax.lax.fori_loop(
-            0, _CONTACT_ITERS, body, (phi0, t_c, lo, hi))
+            0, _CONTACT_POLISH, make_body(False), carry)
         return 0.5 * (lo + hi)
 
     phi_out = jnp.where(eclipsed, edge(+1.0), phi_c)
