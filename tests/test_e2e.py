@@ -10,6 +10,9 @@ import numpy as np
 import pytest
 
 from lfit_python_tpu.models.cv import CVConfig, cv_fluxes
+
+_CFG = CVConfig(n_disc_rad=8, n_disc_az=12, n_spot=12,
+                n_donor_lat=8, n_donor_lon=12)
 from lfit_python_tpu.models.likelihood import make_ln_prob_parts
 from lfit_python_tpu.models.tree import Lightcurve
 from lfit_python_tpu.sampling.ensemble import init_walkers, run_sampler
@@ -31,7 +34,7 @@ def synth_lightcurve(seed=0, n=80, noise=0.002):
         TRUE["scale"], TRUE["az"], TRUE["fis"], TRUE["dexp"], TRUE["phi0"],
     ])
     ph = np.linspace(-0.12, 0.12, n)
-    flux = np.asarray(cv_fluxes(pars, jnp.asarray(ph)).total)
+    flux = np.asarray(cv_fluxes(pars, jnp.asarray(ph), config=_CFG).total)
     rng = np.random.default_rng(seed)
     return Lightcurve(ph, flux + noise * rng.standard_normal(n),
                       np.full(n, noise), name="synth")
@@ -42,7 +45,7 @@ def model_and_fns():
     m = make_tiny_model(n_ecl=1, complex_flags=(False,), gp_flags=(False,))
     m.eclipses[0].lightcurve = synth_lightcurve()
     cm = m.compile()
-    ln_prior, ln_like, ln_prob = make_ln_prob_parts(cm)
+    ln_prior, ln_like, ln_prob = make_ln_prob_parts(cm, config=_CFG)
     return cm, ln_prior, ln_like, jax.jit(ln_prob)
 
 
