@@ -29,10 +29,8 @@ import jax.numpy as jnp
 from ..roche.geometry import (
     contact_interval,
     earth_vector,
-    lobe_radius,
     origin_shadow_distance,
     ray_clearance,
-    roche_potential,
     visible_fraction_interval,
 )
 from ..roche.stream import spot_position

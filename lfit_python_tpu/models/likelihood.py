@@ -15,7 +15,6 @@ Physical-validity priors (reference ``CVModel.py`` via ``trm.roche`` [R]):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -154,13 +154,10 @@ def run_sampler(state: EnsembleState, ln_prob_fn, n_steps, a=2.0, thin=1,
     Returns (final_state, chain (n_kept, W, D), chain_lp (n_kept, W),
     accept_frac (n_steps,)).
     """
+    # static-shape chunks; one short remainder chunk at the end
+    chunks = [chunk_size] * (n_steps // chunk_size)
     if n_steps % chunk_size:
-        # keep shapes static: round chunks, last one short
-        chunks = [chunk_size] * (n_steps // chunk_size)
-        if n_steps % chunk_size:
-            chunks.append(n_steps % chunk_size)
-    else:
-        chunks = [chunk_size] * (n_steps // chunk_size)
+        chunks.append(n_steps % chunk_size)
 
     @partial(jax.jit, static_argnums=(1,))
     def run_chunk(state, n):

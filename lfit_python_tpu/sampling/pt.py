@@ -27,8 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ensemble import _half_update
-
 __all__ = ["PTState", "default_beta_ladder", "init_pt", "pt_step", "run_pt"]
 
 
