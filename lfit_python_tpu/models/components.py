@@ -153,7 +153,8 @@ def disc_flux(q, incl_deg, phases, positions, weights, xl1_val, phi_l1):
     vis = jax.vmap(                                  # over phases
         lambda ee: jax.vmap(lambda pos: one_pair(pos, ee))(positions)
     )(e)                                             # (P, N) bool
-    return vis.astype(weights.dtype) @ weights
+    return jnp.dot(vis.astype(weights.dtype), weights,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +228,8 @@ def spot_flux(q, incl_deg, phases, positions, weights, fis, normal,
             lambda pos: ray_clearance(q, pos, ee, xl1_val, phi_l1) >= 0.0
         )(positions)
     )(e)                                             # (P, N)
-    return (vis.astype(weights.dtype) @ weights) * factor
+    return jnp.dot(vis.astype(weights.dtype), weights,
+                   precision=jax.lax.Precision.HIGHEST) * factor
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +262,9 @@ def element_flux_curve(phases, widths, intervals, weights):
     vis = visible_fraction_interval(
         phases[:, None], w[:, None],
         phi_in[None, :], phi_out[None, :], ecl[None, :])
-    return vis @ weights
+    # precision=highest: TPU f32 matmuls otherwise round operands to
+    # bfloat16 (~1e-3 relative), destroying the 1e-6 flux-parity budget
+    return jnp.dot(vis, weights, precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +359,9 @@ def donor_flux(incl_deg, phases, grid: DonorGrid, ulimb_donor=0.9):
     naturally from the tile geometry.
     """
     e = earth_vector(phases, incl_deg)               # (P, 3)
-    mu = e @ grid.normals.T                          # (P, N)
+    mu = jnp.dot(e, grid.normals.T,
+                 precision=jax.lax.Precision.HIGHEST)  # (P, N)
     mu = jnp.maximum(mu, 0.0)
     intens = 1.0 - ulimb_donor * (1.0 - mu)
-    return (mu * intens) @ grid.areas
+    return jnp.dot(mu * intens, grid.areas,
+                   precision=jax.lax.Precision.HIGHEST)

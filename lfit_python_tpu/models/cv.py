@@ -204,7 +204,9 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
     disc_iv = tuple(a[:n_disc] for a in intervals)
     spot_iv = tuple(a[n_disc:] for a in intervals)
     ydisc = dF * comp.element_flux_curve(ph, w, disc_iv, disc_w)
-    beam = jnp.maximum(comp.earth_vector(ph, incl) @ normal, 0.0)
+    beam = jnp.maximum(
+        jnp.dot(comp.earth_vector(ph, incl), normal,
+                precision=jax.lax.Precision.HIGHEST), 0.0)
     factor = fis + (1.0 - fis) * beam
     yspot = sF * comp.element_flux_curve(ph, w, spot_iv, spot_w) * factor
 

@@ -94,7 +94,11 @@ def _half_update(key, movers, movers_lp, others, batch_ln_prob, a):
     # complementary half over ICI with unambiguous output sharding, and the
     # selection products (1.0 * x) are exact in any dtype.
     one_hot = jax.nn.one_hot(j, others.shape[0], dtype=movers.dtype)
-    partners = jnp.dot(one_hot, others, preferred_element_type=movers.dtype)
+    # precision=highest: TPU f32 matmuls otherwise round the operands to
+    # bfloat16, which would corrupt the selected partner positions
+    partners = jnp.dot(one_hot, others,
+                       preferred_element_type=movers.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     u = jax.random.uniform(k2, (n_half,), movers.dtype)
     z = ((a - 1.0) * u + 1.0) ** 2 / a
     prop = partners + z[:, None] * (movers - partners)

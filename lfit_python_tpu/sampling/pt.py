@@ -108,7 +108,8 @@ def pt_step(state: PTState, ln_prior_fn, ln_like_fn, a=2.0):
             j = jax.random.randint(k1, (n_half,), 0, others.shape[0])
             one_hot = jax.nn.one_hot(j, others.shape[0], dtype=movers.dtype)
             partners = jnp.dot(one_hot, others,
-                               preferred_element_type=movers.dtype)
+                               preferred_element_type=movers.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
             u = jax.random.uniform(k2, (n_half,), movers.dtype)
             z = ((a - 1.0) * u + 1.0) ** 2 / a
             prop = partners + z[:, None] * (movers - partners)
