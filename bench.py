@@ -24,6 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lfit_python_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+
     from lfit_python_tpu.examples import build_model
     from lfit_python_tpu.models.likelihood import make_ln_prob
 

@@ -22,9 +22,27 @@ from pathlib import Path
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat runs (and resume) skip the
+    multi-minute TPU compiles."""
+    import jax
+
+    try:
+        cache = Path.home() / ".cache" / "lfit_python_tpu_xla"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def _fit(args):
+    import math
+
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from .models.cv import CVConfig
     from .models.likelihood import make_ln_prob
@@ -55,6 +73,12 @@ def _fit(args):
     n_walkers = int(cfg.get("nwalkers", 64))
     n_burn = args.nburn if args.nburn is not None else int(cfg.get("nburn", 100))
     n_prod = args.nprod if args.nprod is not None else int(cfg.get("nprod", 100))
+    # one scan length for every stage -> exactly one compiled step program
+    # (each distinct chunk length would otherwise compile its own scan)
+    ckpt0 = max(args.checkpoint_every, 1)
+    chunk = math.gcd(math.gcd(n_burn or ckpt0, n_prod or ckpt0), ckpt0)
+    if chunk < 8:
+        chunk = 64
     scatter_1 = float(cfg.get("scatter_1", 1e-3))
     scatter_2 = float(cfg.get("scatter_2", scatter_1))
     thin = int(cfg.get("thin", 1))
@@ -123,7 +147,7 @@ def _fit(args):
     t0 = time.time()
     if not resume_from and n_burn > 0:
         state, chain, chain_lp, acc = run_sampler(
-            state, ln_prob, n_burn, batch_fn=batch_fn,
+            state, ln_prob, n_burn, batch_fn=batch_fn, chunk_size=chunk,
             progress=lambda s, a: log("burn", s, a))
         if bool(cfg.get("double_burnin", False)):
             # re-scatter around the best walker (reference second burn [R])
@@ -138,7 +162,7 @@ def _fit(args):
             if args.shard:
                 state = shard_state(state, mesh)
             state, chain, chain_lp, acc = run_sampler(
-                state, ln_prob, n_burn, batch_fn=batch_fn,
+                state, ln_prob, n_burn, batch_fn=batch_fn, chunk_size=chunk,
                 progress=lambda s, a: log("burn2", s, a))
 
     writer = ChainWriter(outdir / "chain_prod.txt", model.var_names())
@@ -153,6 +177,7 @@ def _fit(args):
         n = min(ckpt_every, n_prod - done)
         state, chain, chain_lp, acc = run_sampler(
             state, ln_prob, n, thin=thin, batch_fn=batch_fn,
+            chunk_size=chunk,
             progress=lambda s, a: log("prod", done + s, a))
         writer.append(chain, chain_lp)
         all_chain.append(chain)
