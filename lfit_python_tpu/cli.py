@@ -84,7 +84,12 @@ def _fit(args):
     thin = int(cfg.get("thin", 1))
 
     start = jnp.asarray(model.var_start(), dtype)
-    scatter = scatter_1 * jnp.maximum(jnp.abs(start), 1e-2)
+    # per-parameter scatter fractions (reference comp_scat [R-med]); off ->
+    # uniform unit fractions, exactly the reference's plain scatter_1 ball
+    comp_mult = (jnp.asarray(model.var_scatter(), dtype)
+                 if bool(cfg.get("comp_scat", False))
+                 else jnp.ones_like(start))
+    scatter = scatter_1 * comp_mult * jnp.maximum(jnp.abs(start), 1e-2)
     metrics = (outdir / "metrics.jsonl").open("a")
 
     def log(stage, step, acc):
@@ -156,8 +161,8 @@ def _fit(args):
             from .sampling.ensemble import init_walkers as _init
             state = _init(
                 state.key, jnp.asarray(best, dtype),
-                scatter_2 * jnp.maximum(jnp.abs(jnp.asarray(best, dtype)),
-                                        1e-2),
+                scatter_2 * comp_mult
+                * jnp.maximum(jnp.abs(jnp.asarray(best, dtype)), 1e-2),
                 ln_prob, n_walkers)
             if args.shard:
                 state = shard_state(state, mesh)
@@ -227,6 +232,8 @@ def _report(model, chain, lp, outdir, args):
         flat = chain[len(chain) // 4:].reshape(-1, model.n_var)
         corner_plot(flat, model.var_names(), outdir / "corner.png")
         for k in range(model.n_eclipses):
+            if not model.plot_mask[k]:       # reference plot_<i> = 0 [R-med]
+                continue
             plot_eclipse(model, full_best, k,
                          path=outdir / f"eclipse_{k}.png")
 

@@ -323,7 +323,10 @@ def donor_grid(q, xl1_val, phi_l1, n_lat=16, n_lon=24, dtype=jnp.float64):
         hi = jnp.where(inside, hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, 54, body, (lo, hi))
+    # bisection to machine precision of the working dtype (f32 saturates
+    # at ~2^-30 of the bracket; extra iterations are pure waste on TPU)
+    n_iter = 54 if jnp.finfo(dtype).bits >= 64 else 30
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     r = 0.5 * (lo + hi)
 
     # positions and outward normals (grad Phi), componentwise

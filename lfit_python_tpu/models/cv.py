@@ -100,17 +100,29 @@ class CVGeometry(NamedTuple):
     spot_impact: jax.Array  # (3,) stream / disc-rim impact point
 
 
-def cv_geometry(pars, config: CVConfig = CVConfig()) -> CVGeometry:
-    """Solve the per-parameter-vector geometry (L1, inclination, stream)."""
+def cv_geometry(pars, config: CVConfig = CVConfig(),
+                core=None) -> CVGeometry:
+    """Solve the per-parameter-vector geometry (L1, inclination, stream).
+
+    ``core``: optional precomputed (x1, pl1, incl, trajectory) tuple for
+    the parameters shared at the tree root (q, dphi) — the hierarchical
+    posterior hoists these out of the per-eclipse vmap since every eclipse
+    shares the core node (SURVEY.md §2 "CV model nodes"); only the
+    disc-radius-dependent stream impact stays per-eclipse.
+    """
     from ..roche.stream import spot_position
 
     pars = jnp.asarray(pars)
     q, dphi, rdisc_x = pars[4], pars[5], pars[6]
-    x1 = xl1(q)
-    pl1 = l1_potential(q, x1)
-    incl = findi(q, dphi, x1, pl1)
+    if core is None:
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, dphi, x1, pl1)
+        traj = None
+    else:
+        x1, pl1, incl, traj = core
     rdisc = rdisc_x * x1
-    impact = spot_position(q, rdisc)
+    impact = spot_position(q, rdisc, traj=traj)
     return CVGeometry(x1, pl1, incl, rdisc, impact)
 
 
@@ -137,14 +149,16 @@ def _expand_exposure(phases, widths, n_sub):
 
 
 def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
-              geometry: CVGeometry | None = None):
+              geometry: CVGeometry | None = None, donor=None):
     """Evaluate the four-component CV model over a phase grid.
 
     ``pars``: (14,) or (18,) parameter vector (see module docstring);
     ``phases``: (P,) orbital phases; ``widths``: (P,) exposure phase widths
     (None -> instantaneous). Returns :class:`CVFluxes` of (P,) arrays.
     ``geometry``: precomputed :func:`cv_geometry` (shared with the
-    physical-validity check by the fused posterior).
+    physical-validity check by the fused posterior).  ``donor``: optional
+    precomputed :class:`~.components.DonorGrid` — it depends only on the
+    core q, so the hierarchical posterior builds it once for all eclipses.
 
     Pure and jit/vmap-safe: batch over walkers with ``jax.vmap`` on ``pars``.
     Invalid geometry (non-eclipsing dphi for any inclination) yields NaNs,
@@ -174,7 +188,7 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
         q, rdisc, scale, az, exp1, exp2, config.n_spot, dtype=dtype,
         impact=geometry.spot_impact)
     normal = comp.spot_normal(az, tilt, yaw, dtype)
-    dgrid = comp.donor_grid(
+    dgrid = donor if donor is not None else comp.donor_grid(
         q, x1, pl1, config.n_donor_lat, config.n_donor_lon, dtype)
 
     # ---- phase grid with finite-exposure smearing -----------------------
@@ -221,6 +235,6 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
 
 
 def cv_total_flux(pars, phases, widths=None, config: CVConfig = CVConfig(),
-                  geometry: CVGeometry | None = None):
+                  geometry: CVGeometry | None = None, donor=None):
     """Total model flux only (the likelihood hot path)."""
-    return cv_fluxes(pars, phases, widths, config, geometry).total
+    return cv_fluxes(pars, phases, widths, config, geometry, donor).total

@@ -27,7 +27,7 @@ from .priors import ln_prior_table
 from .tree import CompiledModel
 
 __all__ = ["PosteriorData", "make_ln_prob", "make_ln_prob_parts",
-           "gp_flicker_ln_like"]
+           "gp_flicker_ln_like", "wd_contact_extension"]
 
 
 class PosteriorData(NamedTuple):
@@ -76,25 +76,68 @@ def _ln_physical(cv_pars):
     return jnp.where(ok, 0.0, -jnp.inf)
 
 
-def gp_flicker_ln_like(cv_pars, model_flux, gp_pars, data: PosteriorData, k):
+def wd_contact_extension(q, incl, dphi, rwd, x1, pl1, dtype):
+    """Phase half-duration of the WD limb's ingress/egress crossing.
+
+    The WD *centre* crosses the shadow terminator at phase +/- dphi/2 by
+    definition of dphi; the limb's first/last contacts solve
+    d(phi) = rwd, where d(phi) is the signed sky-plane distance of the
+    centre from the terminator (``origin_shadow_distance``).  Two damped
+    Newton iterations on that root (secant slope) give ~1e-4 relative
+    accuracy; rwd << 1 keeps the iteration well inside the smooth region.
+    Reference: the GP changepoints derive from (dphi, rwd) via the WD
+    contact phases, ``GPEclipse.calc_changepoints`` [R] (SURVEY.md §2
+    "GP eclipse nodes").
+    """
+    from ..roche.geometry import origin_shadow_distance
+
+    eps = jnp.asarray(1e-4, dtype)
+    phi = 0.5 * dphi
+    ext = jnp.asarray(0.0, dtype)
+    good = jnp.asarray(True)
+    for _ in range(2):
+        ph = jnp.stack([phi + ext, phi + ext + eps])
+        d, _ = origin_shadow_distance(q, incl, ph, x1, pl1)
+        slope = (d[1] - d[0]) / eps
+        good = good & jnp.isfinite(slope) & (slope > 1e-9)
+        step = (rwd - d[0]) / jnp.where(good, slope, 1.0)
+        ext = jnp.clip(ext + jnp.where(good, step, 0.0), 0.0, 0.1)
+    return jnp.where(good, ext, 0.0)
+
+
+def gp_flicker_ln_like(cv_pars, model_flux, gp_pars, data: PosteriorData, k,
+                       geometry=None):
     """GP "flickering" likelihood for one eclipse (reference
     ``GPEclipse.ln_like`` [R], SURVEY.md §3.3).
 
     Residuals (data - model) are modelled by a Matern-3/2 GP whose
     amplitude switches between exp(ln_ampin_gp) inside the white-dwarf
-    eclipse (|phase - phi0| <= dphi/2, the changepoints) and
-    exp(ln_ampout_gp) outside, with common timescale exp(ln_tau_gp) in
-    phase units.  Segment boundaries reset the O(n) recursion, which is
-    exactly the reference's independent per-segment celerite GPs.
+    eclipse and exp(ln_ampout_gp) outside, with common timescale
+    exp(ln_tau_gp) in phase units.  The changepoints are the WD limb's
+    first/last contact phases, +/-(dphi/2 + ext) with ext the ingress/
+    egress half-duration from (rwd, terminator sky speed) — reference
+    ``GPEclipse.calc_changepoints`` derives them from dphi AND rwd [R].
+    Segment boundaries reset the O(n) recursion, which is exactly the
+    reference's independent per-segment celerite GPs.
+
+    ``geometry``: optional precomputed :class:`~.cv.CVGeometry` (the fused
+    posterior shares its single per-walker geometry solve here too).
     """
     from ..ops.gp import segmented_matern32_ln_like
 
     ln_ampin, ln_ampout, ln_tau = gp_pars[0], gp_pars[1], gp_pars[2]
-    dphi, phi0 = cv_pars[5], cv_pars[13]
+    q, dphi, rwd, phi0 = cv_pars[4], cv_pars[5], cv_pars[8], cv_pars[13]
     t = data.phase[k]
+    if geometry is None:
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, dphi, x1, pl1)
+    else:
+        x1, pl1, incl = geometry.x1, geometry.pl1, geometry.incl
+    ext = wd_contact_extension(q, incl, dphi, rwd, x1, pl1, t.dtype)
     resid = data.flux[k] - model_flux
     wrapped = jnp.mod(t - phi0 + 0.5, 1.0) - 0.5
-    in_ecl = jnp.abs(wrapped) <= 0.5 * dphi
+    in_ecl = jnp.abs(wrapped) <= 0.5 * dphi + ext
     sigma2 = jnp.where(in_ecl, jnp.exp(2.0 * ln_ampin),
                        jnp.exp(2.0 * ln_ampout))
     reset = jnp.concatenate(
@@ -135,16 +178,33 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         return lp + jnp.sum(phys)
 
     def ln_like(var_vec):
+        from ..roche.stream import stream_trajectory
+        from .components import donor_grid
+        from .cv import cv_geometry
+
         full = model.full_from_var(var_vec.astype(dtype))
         cvp = model.cv_params(full)                      # (E, 18)
 
+        # hoisted core-node geometry (see ln_prob below)
+        q, dphi = cvp[0, 4], cvp[0, 5]
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, dphi, x1, pl1)
+        traj = stream_trajectory(q)
+        dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
+                           config.n_donor_lon, dtype)
+        core = (x1, pl1, incl, traj)
+
         def one_ecl(k, pars):
-            mflux = cv_total_flux(pars, data.phase[k], data.width[k], config)
+            geom = cv_geometry(pars, config, core=core)
+            mflux = cv_total_flux(pars, data.phase[k], data.width[k],
+                                  config, geometry=geom, donor=dgrid)
             if gp_ln_like is None:
                 return _chi2_ln_like(mflux, data, k)
             gp_pars = full[data.gp_idx[k]]
             chi2_val = _chi2_ln_like(mflux, data, k)
-            gp_val = gp_ln_like(pars, mflux, gp_pars, data, k)
+            gp_val = gp_ln_like(pars, mflux, gp_pars, data, k,
+                                geometry=geom)
             return jnp.where(use_gp[k], gp_val, chi2_val)
 
         lls = jax.vmap(one_ecl)(jnp.arange(model.n_eclipses), cvp)
@@ -157,25 +217,44 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         in the tree's prior walk via trm.roche and again inside
         ``CV::set_parameters`` (SURVEY.md §3.1).  NaNs from invalid
         geometry are discarded by the final where, never propagated.
+
+        Geometry that depends only on the *core* node (q, dphi) — L1,
+        inclination, the gas-stream trajectory, and the donor surface
+        grid — is hoisted OUT of the per-eclipse vmap: the tree shares the
+        core across all eclipses, so solving it per eclipse would multiply
+        the work E-fold for identical answers (the TPU analogue of the
+        reference's geometry cache, SURVEY.md §2 "CV orchestrator").
         """
+        from ..roche.stream import stream_trajectory
+        from .components import donor_grid
         from .cv import cv_geometry, cv_physical_ok
 
         full = model.full_from_var(var_vec.astype(dtype))
         lp = ln_prior_table(full, prior_table)
         cvp = model.cv_params(full)                      # (E, 18)
 
+        q, dphi = cvp[0, 4], cvp[0, 5]
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, dphi, x1, pl1)
+        traj = stream_trajectory(q)
+        dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
+                           config.n_donor_lon, dtype)
+        core = (x1, pl1, incl, traj)
+
         def one_ecl(k, pars):
-            geom = cv_geometry(pars, config)
+            geom = cv_geometry(pars, config, core=core)
             ok = cv_physical_ok(pars, geom)
             mflux = cv_total_flux(pars, data.phase[k], data.width[k],
-                                  config, geometry=geom)
+                                  config, geometry=geom, donor=dgrid)
             if gp_ln_like is None:
                 ll = _chi2_ln_like(mflux, data, k)
             else:
                 gp_pars = full[data.gp_idx[k]]
                 ll = jnp.where(
                     use_gp[k],
-                    gp_ln_like(pars, mflux, gp_pars, data, k),
+                    gp_ln_like(pars, mflux, gp_pars, data, k,
+                               geometry=geom),
                     _chi2_ln_like(mflux, data, k))
             return jnp.where(ok, ll, -jnp.inf)
 

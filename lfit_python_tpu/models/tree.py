@@ -103,6 +103,7 @@ class EclipseSpec:
     params: Dict[str, Param]
     complex_spot: bool = False
     use_gp: bool = False
+    plot: bool = True   # reference plot_<i> flag [R-med]
 
 
 @dataclass
@@ -215,6 +216,7 @@ class CompiledModel:
             self.data_mask[k, :n] = True
         self.any_complex = any(e.complex_spot for e in spec.eclipses)
         self.any_gp = any(e.use_gp for e in spec.eclipses)
+        self.plot_mask = np.asarray([e.plot for e in spec.eclipses], bool)
 
     # ------------------------------------------------------------------
     def full_from_var(self, var_vec):
@@ -235,6 +237,11 @@ class CompiledModel:
 
     def var_start(self):
         return self.full_start[self.var_idx].copy()
+
+    def var_scatter(self):
+        """Per-sampled-parameter scatter fraction (reference ``comp_scat``
+        [R-med]; populated from COMP_SCAT_FRACTIONS by the config reader)."""
+        return self.scatter[self.var_idx].copy()
 
     def var_names(self):
         return [self.param_names[i] for i in self.var_idx]

@@ -29,7 +29,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["synthetic_da_grid", "GridInterpolator", "run_wdparams"]
+__all__ = ["synthetic_da_grid", "GridInterpolator", "run_wdparams",
+           "extinction_coefficients"]
 
 # physical constants (SI)
 _H = 6.62607015e-34
@@ -91,6 +92,34 @@ def synthetic_da_grid(bands_angstrom, teffs=None, loggs=None):
     fnu_jy = fnu / 1e-26
     return np.asarray(teffs), np.asarray(loggs), \
         -2.5 * np.log10(fnu_jy / 3631.0)
+
+
+def extinction_coefficients(lams_angstrom, r_v=3.1):
+    """Per-band A_lambda / E(B-V) from the CCM (Cardelli, Clayton & Mathis
+    1989) mean extinction law, optical/NIR branches.
+
+    Reference ``wdparams.py`` optionally corrects the synthetic magnitudes
+    for interstellar extinction with per-band coefficients [R-med,
+    SURVEY.md §2 "WD atmosphere fitter"]; CCM with R_V = 3.1 is the
+    standard source of those coefficients.
+    """
+    lam_um = np.asarray(lams_angstrom, float) * 1e-4
+    x = 1.0 / lam_um
+    # optical/UV-edge branch (1.1 <= x <= 3.3), CCM89 eq. (3a, 3b)
+    y = x - 1.82
+    a_opt = (1.0 + 0.17699 * y - 0.50447 * y**2 - 0.02427 * y**3
+             + 0.72085 * y**4 + 0.01979 * y**5 - 0.77530 * y**6
+             + 0.32999 * y**7)
+    b_opt = (1.41338 * y + 2.28305 * y**2 + 1.07233 * y**3
+             - 5.38434 * y**4 - 0.62251 * y**5 + 5.30260 * y**6
+             - 2.09002 * y**7)
+    # IR branch (0.3 <= x < 1.1), CCM89 eq. (2a, 2b)
+    a_ir = 0.574 * x**1.61
+    b_ir = -0.527 * x**1.61
+    a = np.where(x < 1.1, a_ir, a_opt)
+    b = np.where(x < 1.1, b_ir, b_opt)
+    # A_lambda = A_V (a + b/R_V), A_V = R_V E(B-V)
+    return r_v * a + b
 
 
 class GridInterpolator:
@@ -189,18 +218,25 @@ def run_wdparams(args):
         print("NOTE: using the built-in synthetic (blackbody+Nauenberg) DA "
               "grid; supply --grid for Bergeron-table results")
 
+    # optional E(B-V) extinction parameter (reference optional fitted
+    # extinction [R-med]); coefficients from the CCM89 law per band
+    fit_ebv = "ebv" in params
     plist = [params["teff"], params["logg"], params["plax"]]
+    if fit_ebv:
+        plist.append(params["ebv"])
     table = make_prior_table(plist)
     fx = jnp.asarray(fluxes)
     fe = jnp.asarray(errs)
+    ext_coeff = jnp.asarray(extinction_coefficients(lams))
 
     def ln_prob(v):
         teff, logg, plax = v[0], v[1], v[2]
+        ebv = v[3] if fit_ebv else 0.0
         lp = ln_prior_table(v, table)
         mags = interp(teff, logg)          # absolute AB mags
         # apparent flux in mJy at distance d = 1000/plax[mas] pc
         dist_pc = 1000.0 / jnp.maximum(plax, 1e-3)
-        m_app = mags + 5.0 * jnp.log10(dist_pc / 10.0)
+        m_app = mags + 5.0 * jnp.log10(dist_pc / 10.0) + ext_coeff * ebv
         f_mjy = 3631e3 * 10 ** (-0.4 * m_app)
         chi2 = jnp.sum(((fx - f_mjy) / fe) ** 2)
         val = lp - 0.5 * chi2
@@ -213,9 +249,10 @@ def run_wdparams(args):
     state, _, _, _ = run_sampler(state, ln_prob, args.nburn)
     state, chain, lp, acc = run_sampler(state, ln_prob, args.nprod)
 
-    names = ["teff", "logg", "plax"]
+    names = ["teff", "logg", "plax"] + (["ebv"] if fit_ebv else [])
+    ndim = len(names)
     tab = summarize(chain, names, discard=len(chain) // 4)
-    best = chain.reshape(-1, 3)[np.argmax(lp.reshape(-1))]
+    best = chain.reshape(-1, ndim)[np.argmax(lp.reshape(-1))]
     m, r = mass_radius_from_logg(best[1])
     report = {
         "grid": interp.source,
@@ -227,7 +264,7 @@ def run_wdparams(args):
     }
     with (outdir / "wdparams.json").open("w") as fh:
         json.dump(report, fh, indent=1)
-    corner_plot(chain[len(chain) // 4:].reshape(-1, 3), names,
+    corner_plot(chain[len(chain) // 4:].reshape(-1, ndim), names,
                 outdir / "wd_corner.png")
     print(json.dumps(report["params"], indent=1))
     print("derived:", report["derived"])

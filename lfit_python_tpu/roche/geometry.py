@@ -362,24 +362,22 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
               + mu * (i23 - 3.0 * u2 * u2 * i23 * i2 * i2) - ee2)
         return g1, g2
 
-    span = t_hi - t_lo
-    t_best = t_lo
-    v_best = g_val(t_lo)
-    for k in range(1, _CLEAR_GRID):
-        tk = t_lo + span * (k / (_CLEAR_GRID - 1))
-        vk = g_val(tk)
-        take = vk < v_best
-        t_best = jnp.where(take, tk, t_best)
-        v_best = jnp.where(take, vk, v_best)
-    spacing = span / (_CLEAR_GRID - 1)
-    n_lo = jnp.maximum(t_best - spacing, t_lo)
-    n_hi = jnp.minimum(t_best + spacing, t_hi)
-    t = t_best
-    for _ in range(_CLEAR_NEWTON):
+    # ray-minimum t: chord-midpoint (closest approach to the donor centre)
+    # warm start + clamped Newton + endpoint insurance — same scheme as
+    # contact_interval's t_minimum, no grid scan needed (the donor well
+    # dominates inside the enclosing sphere, so g is unimodal on the chord)
+    t = jnp.clip(tstar, t_lo, t_hi)
+    for _ in range(4):
         g1, g2 = g_derivs(t)
         step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
-        t = jnp.clip(t - step, n_lo, n_hi)
-    val = jnp.minimum(g_val(t), v_best)
+        t = jnp.clip(t - step, t_lo, t_hi)
+    val = g_val(t)
+    v_lo = g_val(t_lo)
+    v_hi = g_val(t_hi)
+    t = jnp.where(v_lo < val, t_lo, t)
+    val = jnp.minimum(val, v_lo)
+    t = jnp.where(v_hi < val, t_hi, t)
+    val = jnp.minimum(val, v_hi)
     clear = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
 
     # grad(Phi) at the minimising point, perpendicular to the line of sight
@@ -398,10 +396,8 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
     return clear / g_norm, clear
 
 
-_CONTACT_ITERS = 8       # safeguarded iterations with grid re-scan
-_CONTACT_POLISH = 10     # further warm-start-only iterations (bracket small)
-_CONTACT_T_ITERS = 3     # warm-started inner Newton steps for the ray min
-_CONTACT_GRID = 6        # coarse re-seed scan points per phi iteration
+_EDGE_ITERS = 12         # safeguarded envelope-Newton iterations per edge
+_EDGE_T_NEWTON = 3       # clamped Newton steps for the ray minimum
 
 
 def _grad_potential(q, r):
@@ -430,14 +426,23 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
     removes the (phases x elements x ray-scan) memory blow-up and most of
     the compute.
 
-    Method: one ray-clearance scan at the conjunction phase seeds a *joint*
-    (t, phi) iteration per contact — the ray-minimum parameter t is
-    warm-started across phi iterations (a coarse re-scan plus Newton steps
-    track it) and phi takes a safeguarded Newton step on the envelope
-    clearance c(phi) = g(t_min(phi), phi) - Phi_L1, whose derivative is the
-    analytic envelope derivative dc/dphi = grad(Phi) . t de/dphi.
-    Bisection fallback guarantees global convergence; Newton gives machine
-    precision in the common case.
+    Method (round-2 redesign, ~3x cheaper than the grid-rescan scheme):
+    1. an *analytic* eclipse bracket from the enclosing sphere — the ray
+       misses the sphere of radius (1 - xl1) around the donor outside
+       |phi - phi_c| <= theta_max / 2 pi with
+       cos(theta_max) = sqrt(ww - rad^2) / (sin i |w|), so the lobe
+       contact is bracketed in a ~few-times-tighter interval than the
+       naive quarter-cycle, for free;
+    2. per phi iterate, the ray-minimum t needs NO grid scan: the chord
+       midpoint (closest approach to the donor centre) warm-starts a
+       clamped Newton — inside the enclosing sphere the donor's well
+       dominates and g(t) is unimodal; the chord endpoints are taken as
+       insurance against edge-of-chord minima;
+    3. phi takes a safeguarded Newton step on the envelope clearance
+       c(phi) = g(t_min(phi), phi) - Phi_L1 with the analytic envelope
+       derivative dc/dphi = grad(Phi) . t de/dphi; bisection fallback
+       inside the bracket guarantees global convergence, Newton gives
+       machine precision in the common case.
 
     Implementation note (TPU layout): everything is computed on scalar
     component lanes — no (..., 3) vectors — because a trailing axis of 3
@@ -502,57 +507,44 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
               - (ex * ex + ey * ey))
         return val, g1, g2
 
-    def t_minimum(ex, ey, t_warm=None, use_grid=True):
-        """Ray-minimum t on the sphere chord: coarse scan (+ warm start)
-        then clamped Newton.  With ``use_grid=False`` only the warm start
-        is refined — valid once the outer phi bracket is small, where the
-        warm t tracks the true minimum locally (the polish stage)."""
+    def t_minimum(ex, ey):
+        """Ray-minimum t on the sphere chord: the chord midpoint (closest
+        approach to the donor centre, tstar = w . e) warm-starts a clamped
+        Newton — no grid scan.  The donor term dominates g inside the
+        enclosing sphere so the restriction is unimodal; the chord
+        endpoints are folded in as insurance."""
         t_lo, t_hi, no_occ = ray_bracket(ex, ey)
         b1 = px * ex + py * ey
         b2 = b1 - ex                      # (p - c2) . e, z = 0
-        span = t_hi - t_lo
-        if use_grid:
-            t_best = t_lo
-            v_best = g_val(t_lo, ex, ey, b1, b2)
-            for k in range(1, _CONTACT_GRID):
-                tk = t_lo + span * (k / (_CONTACT_GRID - 1))
-                vk = g_val(tk, ex, ey, b1, b2)
-                take = vk < v_best
-                t_best = jnp.where(take, tk, t_best)
-                v_best = jnp.where(take, vk, v_best)
-            if t_warm is not None:
-                tw = jnp.clip(t_warm, t_lo, t_hi)
-                vw = g_val(tw, ex, ey, b1, b2)
-                take = vw < v_best
-                t_best = jnp.where(take, tw, t_best)
-                v_best = jnp.where(take, vw, v_best)
-        else:
-            t_best = jnp.clip(t_warm, t_lo, t_hi)
-            v_best = g_val(t_best, ex, ey, b1, b2)
-        # Newton clamped to one grid spacing around the best point: the
-        # potential well along the chord can be much narrower than the
-        # span, and unclamped Newton ping-pongs across it
-        spacing = span / (_CONTACT_GRID - 1)
-        n_lo = jnp.maximum(t_best - spacing, t_lo)
-        n_hi = jnp.minimum(t_best + spacing, t_hi)
-        t = t_best
-        for _ in range(_CONTACT_T_ITERS):
+        tstar = wx * ex + wy * ey
+        t = jnp.clip(tstar, t_lo, t_hi)
+        for _ in range(_EDGE_T_NEWTON):
             _, g1, g2 = g_derivs(t, ex, ey, b1, b2)
             step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
-            t = jnp.clip(t - step, n_lo, n_hi)
+            t = jnp.clip(t - step, t_lo, t_hi)
         val = g_val(t, ex, ey, b1, b2)
-        # monotone: the refined minimum can never exceed the scanned one
-        better = val < v_best
-        t = jnp.where(better, t, t_best)
-        val = jnp.minimum(val, v_best)
+        v_lo = g_val(t_lo, ex, ey, b1, b2)
+        v_hi = g_val(t_hi, ex, ey, b1, b2)
+        t = jnp.where(v_lo < val, t_lo, t)
+        val = jnp.minimum(val, v_lo)
+        t = jnp.where(v_hi < val, t_hi, t)
+        val = jnp.minimum(val, v_hi)
         c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
         return t, c, no_occ
 
-    # seed at conjunction (also the eclipsed? test) — use the full-budget
-    # scan for the seed so the mid-eclipse minimum is solid
+    # seed at conjunction: the eclipsed? test
     ex_c, ey_c = earth_xy(phi_c)
-    t_c, c_mid, _ = t_minimum(ex_c, ey_c)
+    _, c_mid, _ = t_minimum(ex_c, ey_c)
     eclipsed = c_mid < 0.0
+
+    # analytic enclosing-sphere eclipse half-angle: the ray from p misses
+    # the donor sphere entirely once cos(theta + alpha) < C_eff, i.e. for
+    # |phi - phi_c| > theta_max / 2 pi — a free, certain-visible bracket
+    # endpoint for each edge (the lobe is inside the sphere)
+    c_eff = jnp.sqrt(jnp.maximum(ww - rad * rad, 0.0)) / jnp.maximum(
+        si * jnp.sqrt(ww), 1e-12)
+    theta_max = jnp.arccos(jnp.clip(c_eff, -1.0, 1.0))
+    dphi_sphere = theta_max / two_pi
 
     def dc_dphi(t, phi, ex, ey):
         """Envelope derivative: grad(Phi) . t de/dphi, with
@@ -569,37 +561,36 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
         return t * two_pi * (gx * ey - gy * ex)
 
     def edge(sign):
-        """Safeguarded Newton for c(phi) = 0 on [phi_c, phi_c + sign/4]:
-        a grid-seeded stage that shrinks the bracket safely, then a cheap
-        warm-start-only polish stage (small phi steps -> the warm t tracks
-        the ray minimum without a re-scan)."""
-        lo = phi_c                       # eclipsed end
-        hi = phi_c + sign * 0.25         # visible end
-        phi0 = phi_c + sign * 0.125
+        """Safeguarded envelope Newton for c(phi) = 0 on the sphere-
+        bracketed interval [phi_c, phi_c + sign * dphi_sphere]."""
+        lo = phi_c                             # eclipsed end
+        hi = phi_c + sign * dphi_sphere        # visible end (sphere miss)
+        # the lobe contact sits somewhat inside the sphere contact
+        phi0 = phi_c + sign * 0.65 * dphi_sphere
 
-        def make_body(use_grid):
-            def body(_, carry):
-                phi, t, lo, hi = carry
-                ex, ey = earth_xy(phi)
-                t, c, no_occ = t_minimum(ex, ey, t_warm=t,
-                                         use_grid=use_grid)
-                # update the bracket (lo stays eclipsed, hi stays visible)
-                lo = jnp.where(c < 0.0, phi, lo)
-                hi = jnp.where(c < 0.0, hi, phi)
-                d = dc_dphi(t, phi, ex, ey)
-                phi_newton = phi - c / jnp.where(
-                    jnp.abs(d) > 1e-12, d, jnp.inf)
-                inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
-                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-                phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-                return phi, t, lo, hi
-            return body
+        def body(_, carry):
+            phi, lo, hi = carry
+            ex, ey = earth_xy(phi)
+            t, c, no_occ = t_minimum(ex, ey)
+            # update the bracket (lo stays eclipsed, hi stays visible)
+            lo = jnp.where(c < 0.0, phi, lo)
+            hi = jnp.where(c < 0.0, hi, phi)
+            d = dc_dphi(t, phi, ex, ey)
+            phi_newton = phi - c / jnp.where(
+                jnp.abs(d) > 1e-12, d, jnp.inf)
+            inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
+            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+            phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
+            return phi, lo, hi
 
-        carry = jax.lax.fori_loop(
-            0, _CONTACT_ITERS, make_body(True), (phi0, t_c, lo, hi))
-        phi, _, lo, hi = jax.lax.fori_loop(
-            0, _CONTACT_POLISH, make_body(False), carry)
-        return 0.5 * (lo + hi)
+        phi, lo, hi = jax.lax.fori_loop(
+            0, _EDGE_ITERS, body, (phi0, lo, hi))
+        # NB: return the final Newton iterate, NOT the bracket midpoint —
+        # when Newton converges one-sidedly (c keeps one sign to roundoff)
+        # the far bracket end never tightens and the midpoint would sit
+        # half a bracket off the root; phi itself is quadratically
+        # converged (or the midpoint, for pure-bisection lanes).
+        return jnp.clip(phi, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
 
     phi_out = jnp.where(eclipsed, edge(+1.0), phi_c)
     phi_in = jnp.where(eclipsed, edge(-1.0), phi_c)

@@ -31,7 +31,24 @@ from ..models.tree import (
     Lightcurve,
 )
 
-__all__ = ["FitConfig", "parse_input_dat", "build_model_from_config"]
+__all__ = ["FitConfig", "parse_input_dat", "build_model_from_config",
+           "COMP_SCAT_FRACTIONS"]
+
+# Per-parameter walker-ball scatter fractions, applied when the input file
+# sets ``comp_scat`` (reference ``mcmcfit.py`` scales the walker scatter
+# per component [R-med, SURVEY.md §3.5]; the reference's exact fractions
+# are unavailable — see SURVEY.md provenance warning — so this table is
+# definitional for the framework: geometry parameters that the eclipse
+# shape pins tightly get small balls, flux scales get wide ones).
+COMP_SCAT_FRACTIONS = {
+    "q": 0.3, "dphi": 0.05, "rwd": 0.3,
+    "wdFlux": 2.0, "dFlux": 2.0, "sFlux": 2.0, "rsFlux": 2.0,
+    "ulimb": 0.1,
+    "rdisc": 1.0, "scale": 2.0, "az": 0.5, "fis": 1.0, "dexp": 1.0,
+    "phi0": 0.05,
+    "exp1": 1.0, "exp2": 1.0, "tilt": 0.5, "yaw": 0.5,
+    "ln_ampin_gp": 1.0, "ln_ampout_gp": 1.0, "ln_tau_gp": 1.0,
+}
 
 _META_INT = {"nwalkers", "nburn", "nprod", "nthreads", "neclipses", "ntemps",
              "nsub", "thin"}
@@ -54,6 +71,8 @@ class FitConfig:
     bands: Dict[int, str] = field(default_factory=dict)
     complex_flags: Dict[int, bool] = field(default_factory=dict)
     gp_flags: Dict[int, bool] = field(default_factory=dict)
+    plot_flags: Dict[int, bool] = field(default_factory=dict)
+    trims: Dict[int, tuple] = field(default_factory=dict)
     source: Optional[Path] = None
 
     @property
@@ -79,18 +98,20 @@ def parse_input_dat(path) -> FitConfig:
         m = _PARAM_RE.match(line)
         if m:
             name, start, ptype, p1, p2, isvar = m.groups()
+            base = name.rsplit("_", 1)[0]
             cfg.params[name] = Param(
-                name=name.rsplit("_", 1)[0],
+                name=base,
                 start=float(start),
                 prior=Prior(ptype, float(p1), float(p2)),
                 is_var=bool(int(isvar)),
+                scatter=COMP_SCAT_FRACTIONS.get(base, 1.0),
             )
             continue
         m = _META_RE.match(line)
         if not m:
             raise ValueError(f"{path}: cannot parse line: {raw!r}")
         key, val = m.groups()
-        fm = re.match(r"^(file|band|plot|complex|useGP)_(\d+)$", key)
+        fm = re.match(r"^(file|band|plot|complex|useGP|trim)_(\d+)$", key)
         if fm:
             kind, idx = fm.group(1), int(fm.group(2))
             if kind == "file":
@@ -101,6 +122,11 @@ def parse_input_dat(path) -> FitConfig:
                 cfg.complex_flags[idx] = _parse_bool(val)
             elif kind == "useGP":
                 cfg.gp_flags[idx] = _parse_bool(val)
+            elif kind == "plot":
+                cfg.plot_flags[idx] = _parse_bool(val)
+            elif kind == "trim":
+                lo, hi = val.split()
+                cfg.trims[idx] = (float(lo), float(hi))
             continue
         if key in _META_INT:
             cfg.meta[key] = int(float(val))
@@ -151,7 +177,9 @@ def build_model_from_config(cfg: FitConfig, data_dir=None) -> HierarchicalModel:
         fname = cfg.files.get(k)
         if fname is None:
             raise KeyError(f"{cfg.source}: missing file_{k} entry")
-        lc = Lightcurve.from_file(data_dir / fname, name=f"ecl{k}")
+        lc = Lightcurve.from_file(data_dir / fname, name=f"ecl{k}",
+                                  trim=cfg.trims.get(k))
         eclipses.append(EclipseSpec(
-            str(k), band, lc, params, complex_spot=cplx, use_gp=gp))
+            str(k), band, lc, params, complex_spot=cplx, use_gp=gp,
+            plot=cfg.plot_flags.get(k, True)))
     return HierarchicalModel(core, bands, eclipses)

@@ -100,6 +100,63 @@ class TestMatern32:
             assert ll_true > ll
 
 
+class TestChangepoints:
+    def test_extension_matches_contact_bisection(self):
+        """The GP changepoints sit at the WD limb's first/last contacts:
+        dphi/2 + ext must solve d(phi) = rwd (the phase where the limb
+        clears the terminator), verified against a direct bisection of the
+        f64 origin shadow distance (SURVEY.md §2 "GP eclipse nodes")."""
+        from lfit_python_tpu.models.likelihood import wd_contact_extension
+        from lfit_python_tpu.roche.geometry import (
+            findi, l1_potential, origin_shadow_distance, xl1)
+
+        for q, dphi, rwd in [(0.15, 0.04, 0.01), (0.35, 0.07, 0.02),
+                             (0.08, 0.025, 0.005)]:
+            x1 = xl1(q)
+            pl1 = l1_potential(q, x1)
+            incl = findi(q, dphi, x1, pl1)
+            ext = float(wd_contact_extension(
+                q, incl, dphi, rwd, x1, pl1, jnp.float64))
+            assert ext > 0.0
+
+            def d_of(phi):
+                d, _ = origin_shadow_distance(
+                    q, incl, jnp.asarray([phi]), x1, pl1)
+                return float(d[0])
+
+            lo, hi = 0.5 * dphi, 0.5 * dphi + 0.05
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                if d_of(mid) < rwd:
+                    lo = mid
+                else:
+                    hi = mid
+            phi_last_contact = 0.5 * (lo + hi)
+            # two Newton iterations vs exact root: agree to ~0.3% of ext
+            assert 0.5 * dphi + ext == pytest.approx(
+                phi_last_contact, abs=0.003 * ext)
+
+    def test_gp_segments_widen_with_rwd(self):
+        """A bigger WD widens the in-eclipse GP segment (ingress/egress
+        last longer): likelihood must differ between rwd values through
+        the changepoints alone."""
+        from lfit_python_tpu.models.likelihood import wd_contact_extension
+        from lfit_python_tpu.roche.geometry import findi, l1_potential, xl1
+
+        q, dphi = 0.15, 0.04
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, dphi, x1, pl1)
+        e1 = float(wd_contact_extension(q, incl, dphi, 0.005, x1, pl1,
+                                        jnp.float64))
+        e2 = float(wd_contact_extension(q, incl, dphi, 0.02, x1, pl1,
+                                        jnp.float64))
+        assert e2 > e1 > 0.0
+        # roughly proportional to rwd (sublinear: the terminator speeds up
+        # away from the centre crossing, so 4x rwd gives a bit under 4x ext)
+        assert 2.0 * e1 < e2 < 4.5 * e1
+
+
 class TestGPEclipseLikelihood:
     def test_gp_model_posterior_finite_and_sensitive(self):
         from lfit_python_tpu.examples import build_model

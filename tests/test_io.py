@@ -109,6 +109,39 @@ class TestConfigReader:
         with pytest.raises(KeyError, match="dFlux_1"):
             build_model_from_config(cfg)
 
+    def test_plot_and_trim_keys(self, input_file):
+        """Reference plot_<i> flags and per-eclipse phase trimming
+        (SURVEY.md §5.6 [R-med]) are honored, not dropped."""
+        extra = input_file.read_text() + (
+            "\nplot_1 = 0\ntrim_1 = -0.05 0.05\n")
+        input_file.write_text(extra)
+        cfg = parse_input_dat(input_file)
+        assert cfg.plot_flags == {1: False}
+        assert cfg.trims == {1: (-0.05, 0.05)}
+        model = build_model_from_config(cfg).compile()
+        assert model.plot_mask.tolist() == [True, False]
+        # eclipse 1's data (phases -0.1..0.1) is trimmed to |phi| <= 0.05
+        n1 = int(model.data_mask[1].sum())
+        assert n1 < 40
+        ph1 = model.data_phase[1][model.data_mask[1]]
+        assert (np.abs(ph1) <= 0.05).all()
+
+    def test_comp_scat_per_param_scatter(self, input_file):
+        """comp_scat populates per-parameter scatter fractions consumed by
+        the walker ball (reference comp_scat semantics, SURVEY.md §3.5)."""
+        from lfit_python_tpu.utils.config import COMP_SCAT_FRACTIONS
+
+        cfg = parse_input_dat(input_file)
+        model = build_model_from_config(cfg).compile()
+        sc = model.var_scatter()
+        names = model.var_names()
+        assert len(sc) == len(names)
+        by_name = dict(zip(names, sc))
+        assert by_name["q_core"] == COMP_SCAT_FRACTIONS["q"]
+        assert by_name["dFlux_0"] == COMP_SCAT_FRACTIONS["dFlux"]
+        # geometry params get tighter balls than flux scales
+        assert by_name["dphi_core"] < by_name["wdFlux_g"]
+
 
 class TestChainIO:
     def test_writer_reader_roundtrip(self, tmp_path):
@@ -231,6 +264,52 @@ class TestWDParams:
         got = {row["name"]: row["median"] for row in report["params"]}
         assert got["teff"] == pytest.approx(true_t, rel=0.1)
         assert got["logg"] == pytest.approx(true_g, abs=0.5)
+
+    def test_extinction_coefficients_sane(self):
+        """CCM89 coefficients: extinction falls with wavelength through the
+        optical, and A_V / E(B-V) == R_V at 5500 A by construction."""
+        from lfit_python_tpu.post.wdparams import extinction_coefficients
+
+        lams = [3561.0, 4770.0, 5500.0, 6231.0, 7625.0, 12500.0]
+        c = extinction_coefficients(lams)
+        assert (np.diff(c) < 0).all()            # bluer -> more extinction
+        assert c[2] == pytest.approx(3.1, abs=0.05)
+
+    def test_end_to_end_recovers_ebv(self, tmp_path):
+        """4-parameter fit with extinction on recovers a known synthetic
+        point (VERDICT round-1 item 9; reference optional E(B-V) [R-med])."""
+        from lfit_python_tpu.post.wdparams import (
+            GridInterpolator, extinction_coefficients, synthetic_da_grid)
+
+        lams = [3561.0, 4770.0, 6231.0, 7625.0, 9134.0]
+        interp = GridInterpolator(*synthetic_da_grid(lams))
+        true_t, true_g, true_plax, true_ebv = 16000.0, 8.2, 4.0, 0.12
+        mags = np.asarray(interp(true_t, true_g))
+        ext = extinction_coefficients(lams) * true_ebv
+        dist = 1000.0 / true_plax
+        f = 3631e3 * 10 ** (-0.4 * (mags + 5 * np.log10(dist / 10) + ext))
+        lines = [
+            "teff = 14000 uniform 6000 90000 1",
+            "logg = 8.0 uniform 6.5 9.5 1",
+            f"plax = {true_plax} gauss {true_plax} 0.05 1",
+            f"ebv = 0.05 gauss {true_ebv} 0.02 1",
+        ] + [
+            f"flux_b{i} = {fi:.6e} {fi * 0.01:.6e} {lam}"
+            for i, (fi, lam) in enumerate(zip(f, lams))
+        ]
+        inp = tmp_path / "wd_input_ebv.dat"
+        inp.write_text("\n".join(lines) + "\n")
+
+        from lfit_python_tpu.cli import main
+        rc = main(["wdparams", str(inp), "--outdir", str(tmp_path / "out2"),
+                   "--nburn", "300", "--nprod", "400", "--nwalkers", "32"])
+        assert rc == 0
+        report = json.loads(
+            (tmp_path / "out2" / "wdparams.json").read_text())
+        got = {row["name"]: row["median"] for row in report["params"]}
+        assert "ebv" in got
+        assert got["teff"] == pytest.approx(true_t, rel=0.1)
+        assert got["ebv"] == pytest.approx(true_ebv, abs=0.05)
 
 
 class TestNativeChainIO:
