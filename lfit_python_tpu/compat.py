@@ -39,8 +39,13 @@ class CV:
     The reference object caches geometry between calls; here each
     ``calcFlux`` is one fused JAX evaluation (geometry recomputed on
     device — see models/cv.py docstring), so the object only stores the
-    latest component curves.
+    latest component curves.  The jitted evaluator is cached per
+    (config, phase-count, has-width) so the reference's looped access
+    pattern (one ``calcFlux`` per walker per step) pays tracing exactly
+    once instead of re-tracing every call.
     """
+
+    _jit_cache: dict = {}
 
     def __init__(self, pars, config: CVConfig | None = None):
         pars = np.asarray(pars, float)
@@ -49,14 +54,30 @@ class CV:
         self.config = config
         self.ywd = self.ydisc = self.yspot = self.ysec = None
 
+    def _evaluator(self, n_phase, has_width):
+        import jax
+
+        key = (self.config, n_phase, has_width)
+        fn = CV._jit_cache.get(key)
+        if fn is None:
+            cfg = self.config
+            if has_width:
+                fn = jax.jit(lambda p, ph, w: cv_fluxes(p, ph, w, cfg))
+            else:
+                fn = jax.jit(lambda p, ph: cv_fluxes(p, ph, None, cfg))
+            CV._jit_cache[key] = fn
+        return fn
+
     def calcFlux(self, pars, phase, width=None):
         import jax.numpy as jnp
 
-        pars = np.asarray(pars, float)
-        out = cv_fluxes(
-            jnp.asarray(pars), jnp.asarray(np.asarray(phase, float)),
-            None if width is None else jnp.asarray(np.asarray(width, float)),
-            self.config)
+        pars = jnp.asarray(np.asarray(pars, float))
+        phase = jnp.asarray(np.asarray(phase, float))
+        fn = self._evaluator(phase.shape[0], width is not None)
+        if width is None:
+            out = fn(pars, phase)
+        else:
+            out = fn(pars, phase, jnp.asarray(np.asarray(width, float)))
         self.ywd = np.asarray(out.ywd)
         self.ydisc = np.asarray(out.ydisc)
         self.yspot = np.asarray(out.yspot)

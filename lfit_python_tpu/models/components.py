@@ -104,15 +104,26 @@ def wd_visible_fraction(q, incl_deg, phase, rwd, ulimb, xl1_val, phi_l1):
     return _edge_visible_fraction(x, ulimb)
 
 
-def wd_flux(q, incl_deg, phases, rwd, ulimb, xl1_val, phi_l1):
+def wd_flux(q, incl_deg, phases, rwd, ulimb, xl1_val, phi_l1, precise=None):
     """Normalised WD light curve over ``phases`` (out of eclipse == 1).
 
     Uses the componentwise batched shadow-distance path (fast on TPU);
-    :func:`wd_visible_fraction` is the scalar oracle for it.
+    :func:`wd_visible_fraction` is the scalar oracle for it.  ``precise``:
+    optional f64-solved (q, incl, xl1, pl1) for the mixed-precision
+    shadow-distance refinement (see ``origin_shadow_distance``).
     """
-    d, clear = origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1)
+    d, clear = origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
+                                      precise=precise)
+    if precise is not None:
+        # finish in f64: the edge fraction's arccos is ill-conditioned at
+        # the contact points (derivative -> inf at |x| = 1), where f32
+        # rounding of x alone costs ~1e-5 of flux
+        rwd = jnp.asarray(rwd, d.dtype)
+        ulimb = jnp.asarray(ulimb, d.dtype)
     x = jnp.where(clear > 0.25, 1.0, jnp.clip(d / rwd, -1.0, 1.0))
-    return _edge_visible_fraction(x, ulimb)
+    frac = _edge_visible_fraction(x, ulimb)
+    return frac.astype(jnp.result_type(phases)) if precise is not None \
+        else frac
 
 
 # ---------------------------------------------------------------------------
@@ -236,17 +247,30 @@ def spot_flux(q, incl_deg, phases, positions, weights, fis, normal,
 # Interval-based element visibility (the fast path)
 # ---------------------------------------------------------------------------
 
-def element_intervals(q, incl_deg, positions, xl1_val, phi_l1):
+def element_intervals(q, incl_deg, positions, xl1_val, phi_l1,
+                      precise=None, positions64=None):
     """Per-element eclipse intervals: one root-find per element per walker.
 
     This is the TPU analogue of the reference's cached per-element contact
     phases (``CV::set_parameters`` + ``Roche::ingress_egress`` [R]): after
     this, per-phase visibility costs a comparison instead of a ray scan.
+    ``precise``: optional f64-solved (q, incl, xl1, pl1) — switches the
+    contact solver's decision quantity c = Phi - Phi_L1 to an in-loop f64
+    evaluation, removing the f32 cancellation-noise tail on
+    ill-conditioned contacts (see ``contact_interval``).
+    ``positions64``: optional f64 element positions for the f64
+    re-evaluation (grids are built in f64 under the precise mode).
     Returns (phi_in (N,), phi_out (N,), eclipsed (N,) bool).
     """
+    if positions64 is None:
+        return jax.vmap(
+            lambda p: contact_interval(q, incl_deg, p, xl1_val, phi_l1,
+                                       precise=precise)
+        )(positions)
     return jax.vmap(
-        lambda p: contact_interval(q, incl_deg, p, xl1_val, phi_l1)
-    )(positions)
+        lambda p, p64: contact_interval(q, incl_deg, p, xl1_val, phi_l1,
+                                        precise=precise, p64=p64)
+    )(positions, positions64)
 
 
 def element_flux_curve(phases, widths, intervals, weights):

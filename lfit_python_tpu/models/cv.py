@@ -74,6 +74,17 @@ class CVConfig(NamedTuple):
     n_donor_lon: int = 24
     n_exposure_sub: int = 3      # finite-exposure phase subsamples
     ulimb_donor: float = 0.9
+    # mixed precision (SURVEY.md §7 hard-part 2): solve the per-walker
+    # scalar geometry (xl1, findi) in f64 and re-evaluate the contact /
+    # WD-shadow decision quantity c = Phi - Phi_L1 in f64 near the roots,
+    # keeping the element sums and the bulk iteration in f32.  On CPU this
+    # closes the f32 parity tail to the 1e-6 gate; on TPU the benefit is
+    # capped by the hardware's EMULATED f64 (~3.5e-7 absolute noise on
+    # compound expressions — measured, see BASELINE.md), which bounds any
+    # on-chip evaluation including full --x64.  ~1.5-2x cost on TPU, so it
+    # is OPT-IN (CLI --precise); requires x64 enabled, silently inactive
+    # otherwise.
+    mixed_precision: bool = False
 
 
 class CVFluxes(NamedTuple):
@@ -98,6 +109,9 @@ class CVGeometry(NamedTuple):
     incl: jax.Array         # inclination (deg; NaN if infeasible)
     rdisc: jax.Array        # disc radius in separation units
     spot_impact: jax.Array  # (3,) stream / disc-rim impact point
+    # f64-solved (q, incl, x1, pl1) for the mixed-precision refinements,
+    # or None when the working dtype is already f64
+    precise: tuple | None = None
 
 
 def cv_geometry(pars, config: CVConfig = CVConfig(),
@@ -119,11 +133,34 @@ def cv_geometry(pars, config: CVConfig = CVConfig(),
         pl1 = l1_potential(q, x1)
         incl = findi(q, dphi, x1, pl1)
         traj = None
+        precise = core_precise(q, dphi, config, pars.dtype)
     else:
-        x1, pl1, incl, traj = core
+        x1, pl1, incl, traj, precise = core
     rdisc = rdisc_x * x1
     impact = spot_position(q, rdisc, traj=traj)
-    return CVGeometry(x1, pl1, incl, rdisc, impact)
+    return CVGeometry(x1, pl1, incl, rdisc, impact, precise)
+
+
+def core_precise(q, dphi, config: CVConfig, dtype):
+    """f64-solved (q, incl, x1, pl1) for the mixed-precision refinements —
+    tiny per-walker scalar solves, hoisted out of the per-eclipse vmap by
+    the hierarchical posterior.  None when the working dtype is already
+    f64 (nothing to refine) or mixed precision is off."""
+    import jax.numpy as jnp
+
+    if not config.mixed_precision or jnp.dtype(dtype) == jnp.float64:
+        return None
+    if not jax.config.jax_enable_x64:
+        # f64 unavailable: the "precise" solves would silently run in f32,
+        # costing compute for no refinement
+        return None
+    f64 = jnp.float64
+    q64 = jnp.asarray(q, f64)
+    dphi64 = jnp.asarray(dphi, f64)
+    x164 = xl1(q64)
+    pl164 = l1_potential(q64, x164)
+    incl64 = findi(q64, dphi64, x164, pl164)
+    return (q64, incl64, x164, pl164)
 
 
 def cv_physical_ok(pars, geom: CVGeometry):
@@ -182,8 +219,23 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
     x1, pl1, incl, rdisc = (geometry.x1, geometry.pl1, geometry.incl,
                             geometry.rdisc)
 
-    disc_pos, disc_w = comp.disc_elements(
-        rwd, rdisc, dexp, config.n_disc_rad, config.n_disc_az, dtype)
+    if geometry.precise is not None:
+        # build the disc grid in f64 and cast down: f32 rounding of the
+        # element coordinates alone shifts their contact phases by ~1e-7
+        # cycles, which flips elements across data phases — a parity-tail
+        # source no contact-solver precision can remove
+        f64 = jnp.float64
+        q64, _, x164, _ = geometry.precise
+        rdisc64 = jnp.asarray(pars[6], f64) * x164
+        disc_pos64, disc_w64 = comp.disc_elements(
+            jnp.asarray(rwd, f64), rdisc64, jnp.asarray(dexp, f64),
+            config.n_disc_rad, config.n_disc_az, f64)
+        disc_pos = disc_pos64.astype(dtype)
+        disc_w = disc_w64.astype(dtype)
+    else:
+        disc_pos64 = None
+        disc_pos, disc_w = comp.disc_elements(
+            rwd, rdisc, dexp, config.n_disc_rad, config.n_disc_az, dtype)
     spot_pos, spot_w = comp.spot_elements(
         q, rdisc, scale, az, exp1, exp2, config.n_spot, dtype=dtype,
         impact=geometry.spot_impact)
@@ -209,11 +261,19 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
 
     # ---- white dwarf (smooth clearance -> analytic edge fraction) -------
     ywd = wdF * mean_over_sub(
-        comp.wd_flux(q, incl, sub, rwd, ulimb, x1, pl1))
+        comp.wd_flux(q, incl, sub, rwd, ulimb, x1, pl1,
+                     precise=geometry.precise))
 
     # ---- disc + spot via per-element contact intervals ------------------
     all_pos = jnp.concatenate([disc_pos, spot_pos], axis=0)
-    intervals = comp.element_intervals(q, incl, all_pos, x1, pl1)
+    if disc_pos64 is not None:
+        all_pos64 = jnp.concatenate(
+            [disc_pos64, spot_pos.astype(jnp.float64)], axis=0)
+    else:
+        all_pos64 = None
+    intervals = comp.element_intervals(q, incl, all_pos, x1, pl1,
+                                       precise=geometry.precise,
+                                       positions64=all_pos64)
     n_disc = disc_pos.shape[0]
     disc_iv = tuple(a[:n_disc] for a in intervals)
     spot_iv = tuple(a[n_disc:] for a in intervals)

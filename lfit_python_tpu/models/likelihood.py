@@ -180,7 +180,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
     def ln_like(var_vec):
         from ..roche.stream import stream_trajectory
         from .components import donor_grid
-        from .cv import cv_geometry
+        from .cv import cv_geometry, core_precise
 
         full = model.full_from_var(var_vec.astype(dtype))
         cvp = model.cv_params(full)                      # (E, 18)
@@ -193,7 +193,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         traj = stream_trajectory(q)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
-        core = (x1, pl1, incl, traj)
+        core = (x1, pl1, incl, traj, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
             geom = cv_geometry(pars, config, core=core)
@@ -227,7 +227,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         """
         from ..roche.stream import stream_trajectory
         from .components import donor_grid
-        from .cv import cv_geometry, cv_physical_ok
+        from .cv import cv_geometry, cv_physical_ok, core_precise
 
         full = model.full_from_var(var_vec.astype(dtype))
         lp = ln_prior_table(full, prior_table)
@@ -240,7 +240,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         traj = stream_trajectory(q)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
-        core = (x1, pl1, incl, traj)
+        core = (x1, pl1, incl, traj, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
             geom = cv_geometry(pars, config, core=core)

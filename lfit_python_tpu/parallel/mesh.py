@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..sampling.ensemble import EnsembleState
 
-__all__ = ["walker_mesh", "shard_state", "walker_sharding"]
+__all__ = ["walker_mesh", "shard_state", "walker_sharding",
+           "shard_pt_state", "sharded_pt_batch_parts"]
 
 WALKER_AXIS = "walkers"
 
@@ -56,6 +57,46 @@ def shard_state(state: EnsembleState, mesh: Mesh) -> EnsembleState:
         log_prob=jax.device_put(state.log_prob, shard),
         step=jax.device_put(state.step, rep),
     )
+
+
+def shard_pt_state(state, mesh: Mesh):
+    """Place a PT state on the mesh: the walker axis (axis 1 of the
+    (T, W, D) ladder) is the data-parallel axis, the temperature ladder is
+    replicated (ntemps is small; the per-rung work shards with walkers)."""
+    from ..sampling.pt import PTState
+
+    n_dev = mesh.devices.size
+    W = state.positions.shape[1]
+    if W % (2 * n_dev):
+        raise ValueError(
+            f"n_walkers={W} must be divisible by 2*n_devices={2 * n_dev}")
+    shard_w = NamedSharding(mesh, P(None, WALKER_AXIS))
+    rep = NamedSharding(mesh, P())
+    return PTState(
+        key=jax.device_put(state.key, rep),
+        positions=jax.device_put(state.positions, shard_w),
+        ln_like=jax.device_put(state.ln_like, shard_w),
+        ln_prior=jax.device_put(state.ln_prior, shard_w),
+        betas=jax.device_put(state.betas, rep),
+        step=jax.device_put(state.step, rep),
+    )
+
+
+def sharded_pt_batch_parts(ln_prior_fn, ln_like_fn, mesh: Mesh):
+    """shard_map-wrapped (prior, like) evaluator for ``pt_step``: local
+    (T, H_local, D) blocks evaluate with plain vmaps, results carry the
+    walker sharding (mirrors ``sharded_batch_ln_prob``)."""
+    def local_batch(pos):
+        flat = pos.reshape(-1, pos.shape[-1])
+        lp = jax.vmap(ln_prior_fn)(flat)
+        ll = jax.vmap(ln_like_fn)(flat)
+        return lp.reshape(pos.shape[:2]), ll.reshape(pos.shape[:2])
+
+    return jax.shard_map(
+        local_batch, mesh=mesh,
+        in_specs=P(None, WALKER_AXIS),
+        out_specs=(P(None, WALKER_AXIS), P(None, WALKER_AXIS)),
+        check_vma=False)
 
 
 def sharded_batch_ln_prob(ln_prob_fn, mesh: Mesh):

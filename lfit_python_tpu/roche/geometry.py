@@ -314,7 +314,8 @@ def eclipse_half_width(q, incl_deg, p=None, xl1_val=None, phi_l1=None):
     return jnp.where(eclipsed_at_0, 0.5 * (lo + hi), jnp.nan)
 
 
-def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
+def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
+                           precise=None):
     """Signed sky-plane distance of the WD centre (origin) from the donor's
     shadow terminator, for a batch of phases — the quantity the analytic
     white-dwarf partial-eclipse fraction consumes (models/components.py).
@@ -323,6 +324,14 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
     :func:`ray_clearance` at p = 0 (where the ray geometry collapses:
     r1 = t, b1 = 0) — the general path's (.., 3)-vector intermediates pad
     to 128-lane tiles on TPU and cost ~8x more.
+
+    ``precise``: optional (q64, incl64, xl1_64, pl1_64) of f64-*solved*
+    scalars (mixed-precision path, SURVEY.md §7 hard-part 2): the ray
+    minimum t from the working-dtype solve is reused (by the envelope
+    theorem the clearance is first-order insensitive to t error) and the
+    clearance/gradient are re-evaluated once in f64, removing the f32
+    cancellation noise in (Phi - Phi_L1) that dominates the parity tail.
+    No-op when x64 is disabled (the casts stay f32).
 
     Returns (distance (P,), clearance (P,)).
     """
@@ -380,6 +389,43 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
     val = jnp.minimum(val, v_hi)
     clear = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
 
+    if precise is not None:
+        # f64 re-evaluation at the converged t (see docstring).  The
+        # clearance is envelope-protected against t error, but the
+        # GRADIENT below is not (a first-order quantity in t), so t gets
+        # two f64 Newton steps first — without them the f32 t error
+        # (~1e-4) leaks ~1e-5 of flux through d = clear / |grad_perp|.
+        f64 = jnp.float64
+        q64, incl64, x164, pl164 = (jnp.asarray(v, f64) for v in precise)
+        mu_, i_ = q64 / (1.0 + q64), jnp.deg2rad(incl64)
+        si_, ci_ = jnp.sin(i_), jnp.cos(i_)
+        th_ = 2.0 * jnp.pi * jnp.asarray(phases, f64)
+        ex_, ey_ = si_ * jnp.cos(th_), -si_ * jnp.sin(th_)
+        t_ = jnp.asarray(t, f64)
+        tlo_, thi_ = jnp.asarray(t_lo, f64), jnp.asarray(t_hi, f64)
+        ee2_ = ex_ * ex_ + ey_ * ey_
+        for _ in range(2):
+            i2_ = jax.lax.rsqrt(t_ * t_ - 2.0 * ex_ * t_ + 1.0)
+            u2_ = t_ - ex_
+            i23_ = i2_ * i2_ * i2_
+            cx_ = t_ * ex_ - mu_
+            cy_ = t_ * ey_
+            g1_ = ((1.0 - mu_) / (t_ * t_) + mu_ * u2_ * i23_
+                   - (cx_ * ex_ + cy_ * ey_))
+            g2_ = (-2.0 * (1.0 - mu_) / (t_ * t_ * t_)
+                   + mu_ * (i23_ - 3.0 * u2_ * u2_ * i23_ * i2_ * i2_)
+                   - ee2_)
+            step_ = jnp.where(g2_ > 1e-14,
+                              g1_ / jnp.maximum(g2_, 1e-14), 0.0)
+            t_ = jnp.clip(t_ - step_, tlo_, thi_)
+        i2_ = jax.lax.rsqrt(t_ * t_ - 2.0 * ex_ * t_ + 1.0)
+        cx_ = t_ * ex_ - mu_
+        cy_ = t_ * ey_
+        val_ = -(1.0 - mu_) / t_ - mu_ * i2_ - 0.5 * (cx_ * cx_ + cy_ * cy_)
+        clear_ = jnp.where(no_occ, jnp.asarray(_CLEAR_VISIBLE, f64),
+                           val_ - pl164)
+        mu, si, ci, ex, ey, t = mu_, si_, ci_, ex_, ey_, t_
+        clear = clear_
     # grad(Phi) at the minimising point, perpendicular to the line of sight
     rx, ry, rz = t * ex, t * ey, t * ci
     i1 = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
@@ -393,11 +439,20 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1):
     px_, py_, pz_ = gx - gdote * ex, gy - gdote * ey, gz - gdote * ci
     g_norm = jnp.maximum(
         jnp.sqrt(px_ * px_ + py_ * py_ + pz_ * pz_), 1e-12)
+    # NB: under ``precise`` the refined values are returned in f64 — the
+    # caller (wd_flux) finishes the ill-conditioned arccos edge fraction
+    # in f64 before casting down
     return clear / g_norm, clear
 
 
 _EDGE_ITERS = 12         # safeguarded envelope-Newton iterations per edge
 _EDGE_T_NEWTON = 3       # clamped Newton steps for the ray minimum
+# mixed-precision split: the first iterations run entirely in f32; the
+# last _EDGE_ITERS_F64 re-evaluate the decision quantity c in f64 (f64 is
+# ~30x f32 on TPU via emulation, so the budget is spent only where the
+# f32 cancellation noise in c actually limits accuracy: near the root)
+_EDGE_ITERS_F32 = 8
+_EDGE_ITERS_F64 = 4
 
 
 def _grad_potential(q, r):
@@ -415,8 +470,18 @@ def _grad_potential(q, r):
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
-def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
+def contact_interval(q, incl_deg, p, xl1_val, phi_l1, precise=None,
+                     p64=None):
     """Eclipse interval (phi_in, phi_out) of an orbital-plane point ``p``.
+
+    ``precise``: optional f64-*solved* (q, incl, xl1, pl1) scalars — the
+    mixed-precision mode (SURVEY.md §7 hard-part 2).  The ray-minimum t
+    iteration stays in the working dtype, but the decision quantity
+    c = Phi - Phi_L1 is re-evaluated in f64 at every iterate (one f64
+    evaluation per iteration; by the envelope theorem c is first-order
+    insensitive to the f32 t error).  f32 cancellation noise in c (~1e-7)
+    otherwise caps near-tangential contacts at ~1e-4-cycle accuracy — the
+    whole parity tail.  Becomes a no-op refinement when x64 is disabled.
 
     The TPU-batched analogue of the reference's per-element geometry cache
     (trm-roche ``Roche::ingress_egress`` [R], cached in ``CV::set_parameters``
@@ -507,7 +572,35 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
               - (ex * ex + ey * ey))
         return val, g1, g2
 
-    def t_minimum(ex, ey):
+    if precise is not None:
+        f64 = jnp.float64
+        q64, incl64, x164, pl164 = (jnp.asarray(v, f64) for v in precise)
+        mu64 = q64 / (1.0 + q64)
+        i64 = jnp.deg2rad(incl64)
+        si64 = jnp.sin(i64)
+        psrc = p if p64 is None else p64
+        px64, py64 = jnp.asarray(psrc[0], f64), jnp.asarray(psrc[1], f64)
+        c164 = px64 * px64 + py64 * py64
+        wx64, wy64 = 1.0 - px64, -py64
+        c2n64 = wx64 * wx64 + wy64 * wy64
+
+        def c_refined(t, phi):
+            """f64 re-evaluation of c = Phi(r(t_min)) - Phi_L1."""
+            t_ = jnp.asarray(t, f64)
+            th_ = 2.0 * jnp.pi * jnp.asarray(phi, f64)
+            ex_, ey_ = si64 * jnp.cos(th_), -si64 * jnp.sin(th_)
+            b1_ = px64 * ex_ + py64 * ey_
+            b2_ = b1_ - ex_
+            i1 = jax.lax.rsqrt(t_ * t_ + 2.0 * b1_ * t_ + c164)
+            i2 = jax.lax.rsqrt(t_ * t_ + 2.0 * b2_ * t_ + c2n64)
+            cx = px64 - mu64 + t_ * ex_
+            cy = py64 + t_ * ey_
+            return (-(1.0 - mu64) * i1 - mu64 * i2
+                    - 0.5 * (cx * cx + cy * cy)) - pl164
+    else:
+        c_refined = None
+
+    def t_minimum(ex, ey, phi=None):
         """Ray-minimum t on the sphere chord: the chord midpoint (closest
         approach to the donor centre, tstar = w . e) warm-starts a clamped
         Newton — no grid scan.  The donor term dominates g inside the
@@ -529,10 +622,16 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
         val = jnp.minimum(val, v_lo)
         t = jnp.where(v_hi < val, t_hi, t)
         val = jnp.minimum(val, v_hi)
-        c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
+        if c_refined is not None and phi is not None:
+            c = jnp.where(no_occ, _CLEAR_VISIBLE,
+                          c_refined(t, phi).astype(dtype))
+        else:
+            c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
         return t, c, no_occ
 
-    # seed at conjunction: the eclipsed? test
+    # seed at conjunction: the eclipsed? test — f32 suffices (c_mid is far
+    # from 0 except for ultra-marginal grazes whose interval is ~empty;
+    # measured flag agreement with f64 is 1.0000)
     ex_c, ey_c = earth_xy(phi_c)
     _, c_mid, _ = t_minimum(ex_c, ey_c)
     eclipsed = c_mid < 0.0
@@ -568,32 +667,87 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1):
         # the lobe contact sits somewhat inside the sphere contact
         phi0 = phi_c + sign * 0.65 * dphi_sphere
 
-        def body(_, carry):
-            phi, lo, hi = carry
-            ex, ey = earth_xy(phi)
-            t, c, no_occ = t_minimum(ex, ey)
-            # update the bracket (lo stays eclipsed, hi stays visible)
-            lo = jnp.where(c < 0.0, phi, lo)
-            hi = jnp.where(c < 0.0, hi, phi)
-            d = dc_dphi(t, phi, ex, ey)
-            phi_newton = phi - c / jnp.where(
-                jnp.abs(d) > 1e-12, d, jnp.inf)
-            inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
-            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-            phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-            return phi, lo, hi
+        def make_body(use_f64):
+            def body(_, carry):
+                phi, lo, hi, phi_best, c_best = carry
+                ex, ey = earth_xy(phi)
+                t, c, no_occ = t_minimum(
+                    ex, ey, phi=phi if use_f64 else None)
+                # track the best EVALUATED point: |c| smallest.  Neither
+                # the bracket midpoint (can sit half a bracket off under
+                # one-sided Newton convergence) nor the last proposed
+                # iterate (can be an unevaluated midpoint fallback) is
+                # safe to return.
+                better = jnp.abs(c) < c_best
+                phi_best = jnp.where(better, phi, phi_best)
+                c_best = jnp.where(better, jnp.abs(c), c_best)
+                # update the bracket (lo stays eclipsed, hi stays visible)
+                lo = jnp.where(c < 0.0, phi, lo)
+                hi = jnp.where(c < 0.0, hi, phi)
+                d = dc_dphi(t, phi, ex, ey)
+                phi_newton = phi - c / jnp.where(
+                    jnp.abs(d) > 1e-12, d, jnp.inf)
+                inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
+                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+                phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
+                return phi, lo, hi, phi_best, c_best
+            return body
 
-        phi, lo, hi = jax.lax.fori_loop(
-            0, _EDGE_ITERS, body, (phi0, lo, hi))
-        # NB: return the final Newton iterate, NOT the bracket midpoint —
-        # when Newton converges one-sidedly (c keeps one sign to roundoff)
-        # the far bracket end never tightens and the midpoint would sit
-        # half a bracket off the root; phi itself is quadratically
-        # converged (or the midpoint, for pure-bisection lanes).
-        return jnp.clip(phi, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+        # NB: measured on v5e — lax.fori_loop beats a fully unrolled body
+        # here (4.5-5 vs 6.0 ms at 1024 walkers x 992 elements); the
+        # unrolled straight-line version spills
+        big = jnp.asarray(jnp.inf, dtype)
+        carry = (phi0, lo, hi, phi0, big)
+        if c_refined is None:
+            carry = jax.lax.fori_loop(
+                0, _EDGE_ITERS, make_body(False), carry)
+        else:
+            # mixed precision: f32 localisation, then an f64 tail.  The
+            # tail restarts from the ORIGINAL sphere bracket (f32 sign
+            # noise near a tangential contact can pin the f32 bracket on
+            # the wrong side of the root — it must not be inherited), and
+            # carries phi itself in f64: quantising the iterate to f32
+            # between iterations would floor the contact accuracy at
+            # ~1e-7 cycles, which is enough to flip an element across a
+            # coincident data phase.  Only the ray-minimum t and the
+            # envelope derivative stay f32 (envelope theorem: c is
+            # first-order insensitive to t error; d only steers Newton).
+            carry = jax.lax.fori_loop(
+                0, _EDGE_ITERS_F32, make_body(False), carry)
+            f64 = jnp.float64
+            big64 = jnp.asarray(jnp.inf, f64)
 
-    phi_out = jnp.where(eclipsed, edge(+1.0), phi_c)
-    phi_in = jnp.where(eclipsed, edge(-1.0), phi_c)
+            def body64(_, carry):
+                phi, lo64, hi64, phi_best, c_best = carry
+                phi32 = phi.astype(dtype)
+                ex, ey = earth_xy(phi32)
+                t, _, no_occ = t_minimum(ex, ey)
+                c = jnp.where(no_occ, big64, c_refined(t, phi))
+                better = jnp.abs(c) < c_best
+                phi_best = jnp.where(better, phi, phi_best)
+                c_best = jnp.where(better, jnp.abs(c), c_best)
+                lo64 = jnp.where(c < 0.0, phi, lo64)
+                hi64 = jnp.where(c < 0.0, hi64, phi)
+                d = dc_dphi(t, phi32, ex, ey).astype(f64)
+                phi_newton = phi - c / jnp.where(
+                    jnp.abs(d) > 1e-12, d, jnp.inf)
+                inside = (phi_newton - lo64) * (phi_newton - hi64) < 0.0
+                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+                phi = jnp.where(ok, phi_newton, 0.5 * (lo64 + hi64))
+                return phi, lo64, hi64, phi_best, c_best
+
+            seed = carry[0].astype(f64)
+            carry = (seed, jnp.asarray(lo, f64), jnp.asarray(hi, f64),
+                     seed, big64)
+            carry = jax.lax.fori_loop(
+                0, _EDGE_ITERS_F64, body64, carry)
+        return carry[3]
+
+    # cast back to the working dtype (the downstream interval-overlap
+    # visibility math must stay f32 on TPU; the ~1e-9 output quantisation
+    # is the irreducible flip window of the precise mode)
+    phi_out = jnp.where(eclipsed, edge(+1.0), phi_c).astype(dtype)
+    phi_in = jnp.where(eclipsed, edge(-1.0), phi_c).astype(dtype)
     return phi_in, phi_out, eclipsed
 
 

@@ -7,21 +7,24 @@ posterior  ln p_t = ln prior + beta_t * ln like,  with walker swaps between
 adjacent rungs.
 
 TPU-native design: the temperature ladder is just one more batch axis —
-positions (T, W, D) live on device, the stretch move vmaps over rungs, and
-the swap move exchanges aligned walker pairs between adjacent rungs with
-the standard acceptance  min(1, exp((beta_a - beta_b)(lnL_b - lnL_a))).
-Everything stays inside one jitted step; the extra axis can also be laid
-out on the mesh as a second sharding dimension.
+positions (T, W, D) live on device, each half-step proposes for ALL rungs
+at once and evaluates them through a single ``batch_parts_fn`` (prior,
+like) call on a (T, H, D) block, so the evaluation can be ``shard_map``-ped
+over the walker mesh axis exactly like the untempered sampler
+(parallel/mesh.py ``sharded_pt_batch_parts``).  The swap move exchanges
+aligned random walker pairs between adjacent rungs with the standard
+acceptance  min(1, exp((beta_a - beta_b)(lnL_b - lnL_a))).
 
-Requires the *likelihood* and *prior* separately (tempering applies only
-to the likelihood), so it takes the pair from
-``models.likelihood.make_ln_prob_parts``.
+Feature parity with the untempered path (VERDICT round-1 item 7): chunked
+``lax.scan`` stepping with thinning and a progress callback for
+incremental chain writing / metrics, and a checkpointable state
+(utils/checkpoints.py handles PTState like EnsembleState).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +45,15 @@ class PTState(NamedTuple):
 def default_beta_ladder(n_temps, ratio=jnp.sqrt(2.0)):
     """Geometric inverse-temperature ladder, beta_0 = 1 (the posterior)."""
     return jnp.asarray([1.0 / ratio**t for t in range(n_temps)])
+
+
+def _default_batch_parts(ln_prior_fn, ln_like_fn):
+    def batch(pos):           # (T, H, D) -> ((T, H), (T, H))
+        flat = pos.reshape(-1, pos.shape[-1])
+        lp = jax.vmap(ln_prior_fn)(flat)
+        ll = jax.vmap(ln_like_fn)(flat)
+        return lp.reshape(pos.shape[:2]), ll.reshape(pos.shape[:2])
+    return batch
 
 
 def init_pt(key, start, scatter, ln_prior_fn, ln_like_fn, n_walkers,
@@ -80,118 +92,132 @@ def init_pt(key, start, scatter, ln_prior_fn, ln_like_fn, n_walkers,
     return PTState(key, pos, ll, lp, betas, jnp.asarray(0, jnp.int32))
 
 
-def pt_step(state: PTState, ln_prior_fn, ln_like_fn, a=2.0):
-    """One tempered stretch-move step + one adjacent-rung swap sweep."""
+def pt_step(state: PTState, ln_prior_fn, ln_like_fn, a=2.0,
+            batch_parts_fn=None):
+    """One tempered stretch-move step + one adjacent-rung swap sweep.
+
+    Returns (state, accept_frac).  ``batch_parts_fn(pos (T, H, D)) ->
+    (ln_prior (T, H), ln_like (T, H))`` overrides proposal evaluation —
+    the sharded path passes the shard_map-wrapped evaluator here.
+    """
+    if batch_parts_fn is None:
+        batch_parts_fn = _default_batch_parts(ln_prior_fn, ln_like_fn)
     T, W, D = state.positions.shape
     half = W // 2
-    key, k_a, k_b, k_sw, k_su = jax.random.split(state.key, 5)
+    key, k_a, k_b, k_su = jax.random.split(state.key, 4)
 
     betas = state.betas
+    pos, lp, ll = state.positions, state.ln_prior, state.ln_like
+    n_acc = jnp.asarray(0.0, pos.dtype)
 
-    def tempered_batch(beta):
-        def batch(pos):
-            lp = jax.vmap(ln_prior_fn)(pos)
-            ll = jax.vmap(ln_like_fn)(pos)
-            return lp + beta * ll, lp, ll
-        return batch
-
-    # --- stretch move per rung (vmapped over T) -------------------------
-    def one_rung(key2, pos, lp, ll, beta):
-        state_lp = lp + beta * ll
-        ka, kb = jax.random.split(key2)
-
-        # evaluate proposals: need (prior, like) separately to keep the
-        # state decomposed; wrap _half_update's batch fn to cache them
-        def move(k, movers, movers_state_lp, others):
-            n_half = movers.shape[0]
-            k1, k2, k3 = jax.random.split(k, 3)
-            j = jax.random.randint(k1, (n_half,), 0, others.shape[0])
-            one_hot = jax.nn.one_hot(j, others.shape[0], dtype=movers.dtype)
-            partners = jnp.dot(one_hot, others,
-                               preferred_element_type=movers.dtype,
-                               precision=jax.lax.Precision.HIGHEST)
-            u = jax.random.uniform(k2, (n_half,), movers.dtype)
-            z = ((a - 1.0) * u + 1.0) ** 2 / a
-            prop = partners + z[:, None] * (movers - partners)
-            p_lp = jax.vmap(ln_prior_fn)(prop)
-            p_ll = jax.vmap(ln_like_fn)(prop)
-            prop_state_lp = p_lp + beta * p_ll
-            ln_acc = (D - 1.0) * jnp.log(z) + prop_state_lp - movers_state_lp
-            acc = jnp.log(
-                jax.random.uniform(k3, (n_half,), movers.dtype)) < ln_acc
-            return acc, prop, p_lp, p_ll
-
-        out_pos, out_lp, out_ll = pos, lp, ll
-        sl = [slice(0, half), slice(half, W)]
-        for s, k in ((0, ka), (1, kb)):
-            movers = out_pos[sl[s]]
-            others = out_pos[sl[1 - s]]
-            m_state = (out_lp + beta * out_ll)[sl[s]]
-            acc, prop, p_lp, p_ll = move(k, movers, m_state, others)
-            out_pos = out_pos.at[sl[s]].set(
-                jnp.where(acc[:, None], prop, movers))
-            out_lp = out_lp.at[sl[s]].set(
-                jnp.where(acc, p_lp, out_lp[sl[s]]))
-            out_ll = out_ll.at[sl[s]].set(
-                jnp.where(acc, p_ll, out_ll[sl[s]]))
-        return out_pos, out_lp, out_ll
-
-    rung_keys = jax.random.split(k_a, T)
-    pos, lp, ll = jax.vmap(one_rung)(
-        rung_keys, state.positions, state.ln_prior, state.ln_like, betas)
+    # red-black half updates, rebuilt by concatenation (slice-assignment
+    # scatters have ambiguous output sharding under the walker mesh)
+    halves = [pos[:, :half], pos[:, half:]]
+    lp_h = [lp[:, :half], lp[:, half:]]
+    ll_h = [ll[:, :half], ll[:, half:]]
+    for s, k in ((0, k_a), (1, k_b)):
+        movers = halves[s]                          # (T, H, D)
+        others = halves[1 - s]
+        m_state_lp = lp_h[s] + betas[:, None] * ll_h[s]
+        k1, k2, k3 = jax.random.split(k, 3)
+        j = jax.random.randint(k1, (T, half), 0, others.shape[1])
+        one_hot = jax.nn.one_hot(j, others.shape[1], dtype=movers.dtype)
+        partners = jnp.einsum(
+            "thw,twd->thd", one_hot, others,
+            preferred_element_type=movers.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        u = jax.random.uniform(k2, (T, half), movers.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        prop = partners + z[..., None] * (movers - partners)
+        p_lp, p_ll = batch_parts_fn(prop)
+        prop_state_lp = p_lp + betas[:, None] * p_ll
+        ln_acc = (D - 1.0) * jnp.log(z) + prop_state_lp - m_state_lp
+        acc = jnp.log(jax.random.uniform(k3, (T, half), movers.dtype)) \
+            < ln_acc
+        halves[s] = jnp.where(acc[..., None], prop, movers)
+        lp_h[s] = jnp.where(acc, p_lp, lp_h[s])
+        ll_h[s] = jnp.where(acc, p_ll, ll_h[s])
+        n_acc = n_acc + jnp.sum(acc)
+    pos = jnp.concatenate(halves, axis=1)
+    lp = jnp.concatenate(lp_h, axis=1)
+    ll = jnp.concatenate(ll_h, axis=1)
 
     # --- swap sweep between adjacent rungs ------------------------------
-    # propose swapping aligned random walker pairs (t, t+1)
-    perm_keys = jax.random.split(k_sw, T)
-    perms = jax.vmap(lambda k: jax.random.permutation(k, W))(perm_keys)
-    u = jax.random.uniform(k_su, (T - 1, W), pos.dtype) if T > 1 else None
-
-    def swap_pair(t, carry):
-        pos, lp, ll = carry
-        ia = perms[t]
-        ib = perms[t + 1]
-        ll_a = ll[t][ia]
-        ll_b = ll[t + 1][ib]
-        ln_acc = (betas[t] - betas[t + 1]) * (ll_b - ll_a)
-        acc = jnp.log(u[t]) < ln_acc
-        pa, pb = pos[t][ia], pos[t + 1][ib]
-        la, lb = lp[t][ia], lp[t + 1][ib]
-        new_a_pos = jnp.where(acc[:, None], pb, pa)
-        new_b_pos = jnp.where(acc[:, None], pa, pb)
-        pos = pos.at[t, ia].set(new_a_pos)
-        pos = pos.at[t + 1, ib].set(new_b_pos)
-        lp = lp.at[t, ia].set(jnp.where(acc, lb, la))
-        lp = lp.at[t + 1, ib].set(jnp.where(acc, la, lb))
-        ll = ll.at[t, ia].set(jnp.where(acc, ll_b, ll_a))
-        ll = ll.at[t + 1, ib].set(jnp.where(acc, ll_a, ll_b))
-        return pos, lp, ll
-
+    # Aligned walker pairs (i of rung t  <->  i of rung t+1).  The
+    # reference-family PT pairs random walkers [R-low]; aligned pairing
+    # has the identical stationary distribution (detailed balance holds
+    # per pair) and the in-rung stretch move reshuffles walkers between
+    # steps.  Crucially it is purely elementwise, so it shards over the
+    # walker mesh with no scatter/permutation collectives.
     if T > 1:
+        u = jnp.log(jax.random.uniform(k_su, (T - 1, W), pos.dtype))
+
+        def swap_pair(t, carry):
+            pos, lp, ll = carry
+            ln_acc = (betas[t] - betas[t + 1]) * (ll[t + 1] - ll[t])
+            acc = u[t] < ln_acc
+            acc3 = acc[:, None]
+            pa, pb = pos[t], pos[t + 1]
+            pos = pos.at[t].set(jnp.where(acc3, pb, pa))
+            pos = pos.at[t + 1].set(jnp.where(acc3, pa, pb))
+            la, lb = lp[t], lp[t + 1]
+            lp = lp.at[t].set(jnp.where(acc, lb, la))
+            lp = lp.at[t + 1].set(jnp.where(acc, la, lb))
+            ca, cb = ll[t], ll[t + 1]
+            ll = ll.at[t].set(jnp.where(acc, cb, ca))
+            ll = ll.at[t + 1].set(jnp.where(acc, ca, cb))
+            return pos, lp, ll
+
         pos, lp, ll = jax.lax.fori_loop(0, T - 1, swap_pair, (pos, lp, ll))
 
-    return PTState(key, pos, ll, lp, betas, state.step + 1)
+    new_state = PTState(key, pos, ll, lp, betas, state.step + 1)
+    return new_state, n_acc / (T * W)
 
 
 def run_pt(state: PTState, ln_prior_fn, ln_like_fn, n_steps, a=2.0,
-           chunk_size=32):
-    """Run PT; returns (state, cold-chain positions (n, W, D), cold ln_post).
+           thin=1, chunk_size=32,
+           progress: Optional[Callable[[int, float], None]] = None,
+           batch_parts_fn=None):
+    """Run PT; returns (state, cold positions (n_kept, W, D), cold ln_post,
+    accept_frac (n_steps,)).
 
-    Only the beta = 1 (cold) rung is returned as samples — the hotter rungs
-    exist to help mode-hopping, exactly as in the reference's PT use [R].
+    Only the beta = 1 (cold) rung is returned as samples — the hotter
+    rungs exist to help mode-hopping, exactly as in the reference's PT
+    use [R].  Chunked like the untempered ``run_sampler``: after each
+    device-resident chunk the thinned cold chain is copied to host and
+    ``progress(done, accept)`` fires (wired to incremental chain writing
+    and metrics by the CLI).
     """
+    chunks = [chunk_size] * (n_steps // chunk_size)
+    if n_steps % chunk_size:
+        chunks.append(n_steps % chunk_size)
+
     @partial(jax.jit, static_argnums=(1,))
     def run_chunk(st, n):
         def body(s, _):
-            s2 = pt_step(s, ln_prior_fn, ln_like_fn, a)
-            return s2, (s2.positions[0], s2.ln_prior[0] + s2.ln_like[0])
+            s2, acc = pt_step(s, ln_prior_fn, ln_like_fn, a,
+                              batch_parts_fn=batch_parts_fn)
+            return s2, (s2.positions[0], s2.ln_prior[0] + s2.ln_like[0],
+                        acc)
         return jax.lax.scan(body, st, None, length=n)
 
-    chains, lps = [], []
+    kept_pos, kept_lp, accs = [], [], []
     done = 0
-    while done < n_steps:
-        n = min(chunk_size, n_steps - done)
-        state, (cpos, clp) = run_chunk(state, n)
-        chains.append(np.asarray(cpos))
-        lps.append(np.asarray(clp))
+    for n in chunks:
+        state, (cpos, clp, cacc) = run_chunk(state, n)
+        idx = [k for k in range(n) if (done + k + 1) % thin == 0]
+        if idx:
+            sel = np.asarray(idx)
+            kept_pos.append(np.asarray(cpos)[sel])
+            kept_lp.append(np.asarray(clp)[sel])
+        accs.append(np.asarray(cacc))
         done += n
-    return state, np.concatenate(chains), np.concatenate(lps)
+        if progress is not None:
+            progress(done, float(np.mean(accs[-1])))
+
+    W, Dd = state.positions.shape[1], state.positions.shape[2]
+    chain = (np.concatenate(kept_pos) if kept_pos
+             else np.empty((0, W, Dd)))
+    chain_lp = (np.concatenate(kept_lp) if kept_lp
+                else np.empty((0, W)))
+    return state, chain, chain_lp, np.concatenate(accs)

@@ -108,6 +108,12 @@ def gelman_rubin(chain, discard=0):
     ``chain`` (n_steps, W, D); walkers are treated as independent chains,
     each split in half (Gelman et al. 2013). Values near 1 indicate
     convergence.
+
+    CAVEAT (heuristic, not a strict R-hat): stretch-move walkers are
+    *correlated* by construction (each proposal uses another walker), so
+    treating them as independent chains understates R-hat.  Use it as a
+    progress indicator; for publication-grade convergence claims compare
+    independent runs (different seeds) instead.
     """
     x = np.asarray(chain)[discard:]
     n, w, d = x.shape
@@ -123,18 +129,23 @@ def gelman_rubin(chain, discard=0):
 
 def autocorr_time(chain, c=5.0):
     """Integrated autocorrelation time per parameter (emcee-style
-    self-consistent window; used for effective-sample-size reporting)."""
-    x = np.asarray(chain)
+    self-consistent window; used for effective-sample-size reporting).
+
+    FFT-based: O(n log n (W + D)) — the naive np.correlate version was
+    O(n^2 W D) and crawled on production chains (1e4 steps x 4096 walkers).
+    """
+    x = np.asarray(chain, np.float64)
     n, w, d = x.shape
+    # next power of two >= 2n for linear (non-circular) autocorrelation
+    nfft = 1 << (2 * n - 1).bit_length()
+    y = x - x.mean(axis=0, keepdims=True)          # (n, w, d)
+    fy = np.fft.rfft(y, n=nfft, axis=0)
+    acf = np.fft.irfft(fy * np.conj(fy), n=nfft, axis=0)[:n]  # (n, w, d)
+    acf = acf / np.maximum(acf[0], 1e-300)
+    f = acf.mean(axis=1)                            # (n, d) walker-averaged
     taus = np.empty(d)
     for j in range(d):
-        f = np.zeros(n)
-        for k in range(w):
-            y = x[:, k, j] - x[:, k, j].mean()
-            fk = np.correlate(y, y, mode="full")[n - 1:]
-            f += fk / max(fk[0], 1e-300)
-        f /= w
-        taus_cum = 2.0 * np.cumsum(f) - 1.0
+        taus_cum = 2.0 * np.cumsum(f[:, j]) - 1.0
         window = np.arange(n) < c * taus_cum
         idx = np.argmin(window) if not window.all() else n - 1
         taus[j] = taus_cum[max(idx, 1)]

@@ -6,6 +6,10 @@ kill, so exact resume is impossible [R].  Here the full sampler state
 (positions, log-probs, PRNG key, step counter) is checkpointed every K
 steps and a resumed run is *bitwise identical* to an uninterrupted one
 (the PRNG key is the entire stochastic state of the on-device sampler).
+
+Handles both the untempered :class:`~..sampling.ensemble.EnsembleState`
+and the parallel-tempered :class:`~..sampling.pt.PTState` (VERDICT
+round-1 item 7: PT at feature parity).
 """
 
 from __future__ import annotations
@@ -19,23 +23,36 @@ from ..sampling.ensemble import EnsembleState
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
 
-_FMT_VERSION = 1
+_FMT_VERSION = 2
 
 
-def save_checkpoint(path, state: EnsembleState, meta: dict | None = None):
-    """Atomic checkpoint write (tmp + rename)."""
+def save_checkpoint(path, state, meta: dict | None = None):
+    """Atomic checkpoint write (tmp + rename); EnsembleState or PTState."""
     import jax
+
+    from ..sampling.pt import PTState
 
     path = Path(path)
     tmp = path.with_suffix(path.suffix + ".tmp")
+    fields = {
+        "key": np.asarray(jax.random.key_data(state.key)),
+        "positions": np.asarray(state.positions),
+        "log_prob": np.asarray(
+            state.log_prob if isinstance(state, EnsembleState)
+            else state.ln_like),
+        "step": np.asarray(state.step),
+    }
+    kind = "ensemble"
+    if isinstance(state, PTState):
+        kind = "pt"
+        fields["ln_prior"] = np.asarray(state.ln_prior)
+        fields["betas"] = np.asarray(state.betas)
     np.savez(
         tmp,
         version=_FMT_VERSION,
-        key=np.asarray(jax.random.key_data(state.key)),
-        positions=np.asarray(state.positions),
-        log_prob=np.asarray(state.log_prob),
-        step=np.asarray(state.step),
+        kind=kind,
         meta=json.dumps(meta or {}),
+        **fields,
     )
     # np.savez appends .npz to the tmp name
     tmp_real = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
@@ -43,21 +60,35 @@ def save_checkpoint(path, state: EnsembleState, meta: dict | None = None):
     return path
 
 
-def load_checkpoint(path) -> tuple[EnsembleState, dict]:
-    """Load a checkpoint -> (EnsembleState, meta)."""
+def load_checkpoint(path):
+    """Load a checkpoint -> (EnsembleState | PTState, meta)."""
     import jax
     import jax.numpy as jnp
 
+    from ..sampling.pt import PTState
+
     with np.load(Path(path), allow_pickle=False) as z:
-        if int(z["version"]) != _FMT_VERSION:
-            raise ValueError(f"unsupported checkpoint version {z['version']}")
+        version = int(z["version"])
+        if version not in (1, 2):
+            raise ValueError(f"unsupported checkpoint version {version}")
+        kind = str(z["kind"]) if "kind" in z else "ensemble"
         key = jax.random.wrap_key_data(jnp.asarray(z["key"]))
-        state = EnsembleState(
-            key=key,
-            positions=jnp.asarray(z["positions"]),
-            log_prob=jnp.asarray(z["log_prob"]),
-            step=jnp.asarray(z["step"]),
-        )
+        if kind == "pt":
+            state = PTState(
+                key=key,
+                positions=jnp.asarray(z["positions"]),
+                ln_like=jnp.asarray(z["log_prob"]),
+                ln_prior=jnp.asarray(z["ln_prior"]),
+                betas=jnp.asarray(z["betas"]),
+                step=jnp.asarray(z["step"]),
+            )
+        else:
+            state = EnsembleState(
+                key=key,
+                positions=jnp.asarray(z["positions"]),
+                log_prob=jnp.asarray(z["log_prob"]),
+                step=jnp.asarray(z["step"]),
+            )
         meta = json.loads(str(z["meta"]))
     return state, meta
 

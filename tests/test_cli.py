@@ -8,6 +8,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# full CLI pipelines: the slow integration tier (>60s each)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fit_dir(tmp_path_factory):

@@ -208,6 +208,7 @@ class TestCVOrchestrator:
         assert float(out.total[0]) < float(out.total[1])
         assert float(out.ywd[0]) == pytest.approx(0.0, abs=1e-12)
 
+    @pytest.mark.slow
     def test_phi0_shifts_curve(self):
         p2 = self.PARS.copy()
         p2[13] = 0.01
@@ -216,6 +217,7 @@ class TestCVOrchestrator:
         b = cv_fluxes(jnp.asarray(p2), ph + 0.01, config=_CFG).total
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
 
+    @pytest.mark.slow
     def test_exposure_smearing_softens(self):
         ph = jnp.linspace(-0.03, 0.03, 61)
         w = jnp.full_like(ph, 0.002)
@@ -227,6 +229,7 @@ class TestCVOrchestrator:
         g2 = np.abs(np.diff(np.asarray(smear))).max()
         assert g2 < g1
 
+    @pytest.mark.slow
     def test_vmap_over_walkers(self):
         pars = jnp.asarray(np.stack([self.PARS, self.PARS * 1.01]))
         ph = jnp.linspace(-0.1, 0.1, 21)

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the five BASELINE configs are the slow integration tier (60-160s each)
+pytestmark = pytest.mark.slow
+
 from lfit_python_tpu.examples import build_model
 from lfit_python_tpu.models.cv import CVConfig
 from lfit_python_tpu.models.likelihood import make_ln_prob

@@ -96,6 +96,7 @@ class TestPosterior:
 
 
 class TestShortMCMC:
+    @pytest.mark.slow
     def test_sampler_moves_and_improves(self, model_and_fns):
         cm, _, _, ln_prob = model_and_fns
         start = jnp.asarray(cm.var_start())

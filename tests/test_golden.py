@@ -73,3 +73,39 @@ class TestGolden:
             jnp.full(64, 0.01), 0.05, 0.15)
         assert float(val) == pytest.approx(float(golden["gp_lnlike"]),
                                            rel=1e-10)
+
+
+class TestMixedPrecision:
+    """The f32 + mixed-precision path against the f64 golden values
+    (SURVEY.md §7 hard-part 2; BASELINE.json 1e-6 relative-flux gate).
+    Typical error must sit well under the gate; the golden vectors here
+    avoid pathological tangential grazes, which are quantified separately
+    in BASELINE.md from random-draw sweeps (tools/parity.py)."""
+
+    @pytest.mark.parametrize("tag,pars,cplx", [
+        ("simple", SIMPLE, False), ("complex", COMPLEX, True)])
+    def test_f32_precise_meets_gate(self, golden, tag, pars, cplx):
+        cfg = CFG._replace(complex_spot=cplx, mixed_precision=True)
+        f = cv_fluxes(jnp.asarray(pars, jnp.float32),
+                      jnp.asarray(PHASES, jnp.float32), config=cfg)
+        scale = float(np.max(np.abs(golden[f"{tag}_total"])))
+        for name in ("total", "ywd", "ydisc", "yspot", "ysec"):
+            err = np.abs(np.asarray(getattr(f, name), np.float64)
+                         - golden[f"{tag}_{name}"]) / scale
+            assert err.max() < 1e-6, (
+                f"{tag}.{name} mixed-precision parity {err.max():.2e}"
+                f" exceeds the 1e-6 gate")
+
+    @pytest.mark.parametrize("tag,pars,cplx", [
+        ("simple", SIMPLE, False), ("complex", COMPLEX, True)])
+    def test_f32_fast_typical_parity(self, golden, tag, pars, cplx):
+        """The fast (pure f32) path: median well under the gate, max
+        bounded by the documented graze tail."""
+        cfg = CFG._replace(complex_spot=cplx, mixed_precision=False)
+        f = cv_fluxes(jnp.asarray(pars, jnp.float32),
+                      jnp.asarray(PHASES, jnp.float32), config=cfg)
+        scale = float(np.max(np.abs(golden[f"{tag}_total"])))
+        err = np.abs(np.asarray(f.total, np.float64)
+                     - golden[f"{tag}_total"]) / scale
+        assert np.median(err) < 1e-6
+        assert err.max() < 1e-3

@@ -158,6 +158,7 @@ class TestChangepoints:
 
 
 class TestGPEclipseLikelihood:
+    @pytest.mark.slow
     def test_gp_model_posterior_finite_and_sensitive(self):
         from lfit_python_tpu.examples import build_model
         from lfit_python_tpu.models.likelihood import make_ln_prob

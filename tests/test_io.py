@@ -234,6 +234,7 @@ class TestWDParams:
         assert 0.4 < m < 0.8          # canonical ~0.6 Msun at logg = 8
         assert r == pytest.approx(nauenberg_radius(m), rel=1e-6)
 
+    @pytest.mark.slow
     def test_end_to_end_recovers_teff(self, tmp_path):
         from lfit_python_tpu.post.wdparams import (
             GridInterpolator, synthetic_da_grid)
@@ -275,6 +276,7 @@ class TestWDParams:
         assert (np.diff(c) < 0).all()            # bluer -> more extinction
         assert c[2] == pytest.approx(3.1, abs=0.05)
 
+    @pytest.mark.slow
     def test_end_to_end_recovers_ebv(self, tmp_path):
         """4-parameter fit with extinction on recovers a known synthetic
         point (VERDICT round-1 item 9; reference optional E(B-V) [R-med])."""

@@ -15,6 +15,7 @@ from lfit_python_tpu.sampling.ensemble import (
 
 
 class TestGaussianTarget:
+    @pytest.mark.slow
     def test_recovers_moments(self):
         cov = np.array([[2.0, 0.6], [0.6, 0.5]])
         icov = jnp.asarray(np.linalg.inv(cov))

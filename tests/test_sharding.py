@@ -82,6 +82,7 @@ class TestShardMapBatchPath:
         np.testing.assert_array_equal(
             np.asarray(ref.positions), np.asarray(shd.positions))
 
+    @pytest.mark.slow
     def test_flagship_posterior_dryrun(self, mesh):
         """The full hierarchical posterior steps under the 8-device mesh
         (this is what the driver's dryrun_multichip exercises)."""

@@ -33,6 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_enable_x64", True)  # so mixed mode can engage
+
     from lfit_python_tpu.examples import build_model
     from lfit_python_tpu.models import components as comp
     from lfit_python_tpu.models.cv import CVConfig, cv_geometry, cv_total_flux
@@ -105,15 +107,18 @@ def main():
             n_points=128,
             bands=("g",) if ne == 1 else ("g", "r"),
         ).compile()
-        ln_prob = make_ln_prob(model, dtype=dtype)
-        fn = jax.jit(jax.vmap(ln_prob))
         start = np.asarray(model.var_start(), np.float32)
         posw = jnp.asarray(
             start[None, :] + 0.001 * np.abs(start)[None, :]
             * rng.standard_normal((W, start.size)), dtype)
-        dt = timeit(fn, posw)
-        print(f"posterior {tag}: {dt * 1e3:8.2f} ms "
-              f"({W / dt:8.0f} evals/s)")
+        for mixed in (False, True):
+            mcfg = CVConfig(mixed_precision=mixed)
+            ln_prob = make_ln_prob(model, config=mcfg, dtype=dtype)
+            fn = jax.jit(jax.vmap(ln_prob))
+            dt = timeit(fn, posw)
+            mode = "precise" if mixed else "fast   "
+            print(f"posterior {tag} {mode}: {dt * 1e3:8.2f} ms "
+                  f"({W / dt:8.0f} evals/s)")
 
 
 if __name__ == "__main__":
