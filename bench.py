@@ -49,10 +49,14 @@ def _measure(model, n_walkers, dtype, reps=10):
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from lfit_python_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
+    # x64-enabled process: XLA compiles a ~30% faster executable for the
+    # identical f32 posterior (measured 68 vs 91 ms; see cli.py note)
+    jax.config.update("jax_enable_x64", True)
 
     from lfit_python_tpu.examples import build_model
 

@@ -85,6 +85,16 @@ class CVConfig(NamedTuple):
     # is OPT-IN (CLI --precise); requires x64 enabled, silently inactive
     # otherwise.
     mixed_precision: bool = False
+    # Pallas/Mosaic contact kernel (ops/pallas_contacts.py) for the f32
+    # fast mode: measured 4.96 vs 7.10 ms against the XLA fusion at 1024
+    # walkers x 992 elements on v5e (tools/bench_contacts.py), and the
+    # posterior with the kernel embedded is bitwise-identical to the XLA
+    # path (tests/test_pallas.py).  OFF by default on this box: compiling
+    # the kernel EMBEDDED in the full posterior through the axon
+    # remote-compile tunnel stalled (>23 min; standalone compiles in
+    # seconds) — flip on where a local compiler is available.  Applies
+    # only when the working dtype is f32 and mixed precision is off.
+    pallas_contacts: bool = False
 
 
 class CVFluxes(NamedTuple):
@@ -271,9 +281,15 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
             [disc_pos64, spot_pos.astype(jnp.float64)], axis=0)
     else:
         all_pos64 = None
-    intervals = comp.element_intervals(q, incl, all_pos, x1, pl1,
-                                       precise=geometry.precise,
-                                       positions64=all_pos64)
+    if (config.pallas_contacts and geometry.precise is None
+            and dtype == jnp.float32):
+        from ..ops.pallas_contacts import contacts_op
+
+        intervals = contacts_op(q, incl, all_pos, x1, pl1)
+    else:
+        intervals = comp.element_intervals(q, incl, all_pos, x1, pl1,
+                                           precise=geometry.precise,
+                                           positions64=all_pos64)
     n_disc = disc_pos.shape[0]
     disc_iv = tuple(a[:n_disc] for a in intervals)
     spot_iv = tuple(a[n_disc:] for a in intervals)

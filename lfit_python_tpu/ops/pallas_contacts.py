@@ -1,0 +1,295 @@
+"""Pallas/Mosaic TPU kernel for the contact-interval solver (the hot op).
+
+SURVEY.md §2 native-component checklist item 2: the per-element eclipse
+contact solve fused as a hand-scheduled TPU kernel.  This implements the
+SAME redesigned algorithm as ``roche.geometry.contact_interval`` (analytic
+sphere bracket + chord-midpoint-warm-started Newton for the ray minimum +
+safeguarded envelope Newton on phi, returning the best evaluated point) —
+the two implementations are held in lockstep by an oracle test
+(tests/test_pallas.py).
+
+Design notes (vs the retired round-1 kernel, which implemented the old
+grid-rescan algorithm and lost to XLA fusion, 34.5 vs 26.8 ms):
+  * the inverse-trig setup (conjunction phase arctan2, sphere half-angle
+    arccos) is precomputed OUTSIDE the kernel in plain XLA — it is cheap,
+    elementwise, and keeps the Mosaic body to sin/cos/rsqrt only;
+  * the kernel processes (8 walkers x LANE elements) blocks so every array
+    sits on native (8, 128) vregs; the entire 12-iteration edge loop runs
+    out of VMEM/registers with no HBM carry round-trips (the XLA while-loop
+    path spills its 5-array carry to HBM every iteration);
+  * f32 fast path only — the mixed-precision (--precise) mode stays on the
+    XLA path, where the f64 tail is emulated.
+
+Use ``element_intervals_pallas`` as a drop-in for the plain (non-precise)
+``components.element_intervals`` batched over walkers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["element_intervals_pallas", "contacts_op", "LANE"]
+
+LANE = 1024          # elements per row (padded); 8 x (8, 128) vregs
+_W_BLOCK = 8         # walkers per program (sublane dimension)
+
+_EDGE_ITERS = 12
+_T_NEWTON = 3
+_CLEAR_VISIBLE = 10.0
+
+
+def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref,
+            pin_ref, pout_ref, ecl_ref):
+    # per-walker scalars, broadcast down the lane axis
+    mu = scal_ref[:, 0:1]
+    si = scal_ref[:, 1:2]
+    ci = scal_ref[:, 2:3]
+    rad = scal_ref[:, 3:4]
+    pl1 = scal_ref[:, 4:5]
+
+    px = px_ref[...]
+    py = py_ref[...]
+    phi_c = phic_ref[...]
+    dphi_s = dphis_ref[...]
+
+    wx = 1.0 - px
+    wy = -py
+    ww = wx * wx + wy * wy
+    c1 = px * px + py * py
+    two_pi = 6.283185307179586
+
+    def t_minimum(ex, ey):
+        tstar = wx * ex + wy * ey
+        disc = rad * rad - (ww - tstar * tstar)
+        half = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_lo = jnp.maximum(tstar - half, 0.0)
+        t_hi = jnp.maximum(tstar + half, 0.0)
+        no_occ = disc <= 0.0
+        b1 = px * ex + py * ey
+        b2 = b1 - ex
+
+        def g_val(t):
+            i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+            i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + ww)
+            cx = px - mu + t * ex
+            cy = py + t * ey
+            return -(1.0 - mu) * i1 - mu * i2 - 0.5 * (cx * cx + cy * cy)
+
+        t = jnp.clip(tstar, t_lo, t_hi)
+        for _ in range(_T_NEWTON):
+            i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+            i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + ww)
+            u1, u2 = t + b1, t + b2
+            i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+            cx = px - mu + t * ex
+            cy = py + t * ey
+            g1 = ((1.0 - mu) * u1 * i13 + mu * u2 * i23
+                  - (cx * ex + cy * ey))
+            g2 = ((1.0 - mu) * (i13 - 3.0 * u1 * u1 * i13 * i1 * i1)
+                  + mu * (i23 - 3.0 * u2 * u2 * i23 * i2 * i2)
+                  - (ex * ex + ey * ey))
+            step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
+            t = jnp.clip(t - step, t_lo, t_hi)
+        val = g_val(t)
+        v_lo = g_val(t_lo)
+        v_hi = g_val(t_hi)
+        t = jnp.where(v_lo < val, t_lo, t)
+        val = jnp.minimum(val, v_lo)
+        t = jnp.where(v_hi < val, t_hi, t)
+        val = jnp.minimum(val, v_hi)
+        c = jnp.where(no_occ, _CLEAR_VISIBLE, val - pl1)
+        return t, c, no_occ
+
+    def dc_dphi(t, ex, ey):
+        rx = px + t * ex
+        ry = py + t * ey
+        rz = t * ci
+        i1 = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+        dx = rx - 1.0
+        i2 = jax.lax.rsqrt(dx * dx + ry * ry + rz * rz)
+        i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+        gx = (1.0 - mu) * rx * i13 + mu * dx * i23 - (rx - mu)
+        gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+        return t * two_pi * (gx * ey - gy * ex)
+
+    def earth_xy(phase):
+        th = two_pi * phase
+        return si * jnp.cos(th), -si * jnp.sin(th)
+
+    ex_c, ey_c = earth_xy(phi_c)
+    _, c_mid, _ = t_minimum(ex_c, ey_c)
+    eclipsed = c_mid < 0.0
+
+    def edge(sign):
+        lo = phi_c
+        hi = phi_c + sign * dphi_s
+        phi0 = phi_c + sign * 0.65 * dphi_s
+
+        def body(_, carry):
+            phi, lo, hi, phi_best, c_best = carry
+            ex, ey = earth_xy(phi)
+            t, c, no_occ = t_minimum(ex, ey)
+            better = jnp.abs(c) < c_best
+            phi_best = jnp.where(better, phi, phi_best)
+            c_best = jnp.where(better, jnp.abs(c), c_best)
+            lo = jnp.where(c < 0.0, phi, lo)
+            hi = jnp.where(c < 0.0, hi, phi)
+            d = dc_dphi(t, ex, ey)
+            phi_newton = phi - c / jnp.where(
+                jnp.abs(d) > 1e-12, d, jnp.inf)
+            inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
+            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+            phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
+            return phi, lo, hi, phi_best, c_best
+
+        big = jnp.full_like(phi0, jnp.inf)
+        # i32 bounds: under x64 a Python-int fori_loop counter becomes
+        # i64, which Mosaic cannot legalize
+        carry = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(_EDGE_ITERS), body,
+            (phi0, lo, hi, phi0, big))
+        return carry[3]
+
+    pin_ref[...] = jnp.where(eclipsed, edge(-1.0), phi_c)
+    pout_ref[...] = jnp.where(eclipsed, edge(+1.0), phi_c)
+    ecl_ref[...] = eclipsed.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def element_intervals_pallas(q, incl_deg, positions, xl1_val, phi_l1,
+                             interpret=False):
+    """Batched contact intervals on the Pallas kernel.
+
+    ``q, incl_deg, xl1_val, phi_l1``: (W,) per-walker scalars;
+    ``positions``: (W, N, 3) element positions (orbital plane).
+    Returns (phi_in, phi_out, eclipsed) of shape (W, N).
+    N is padded to LANE and W to a multiple of 8 internally.
+    """
+    f32 = jnp.float32
+    q = jnp.asarray(q, f32)
+    incl = jnp.asarray(incl_deg, f32)
+    x1 = jnp.asarray(xl1_val, f32)
+    pl1 = jnp.asarray(phi_l1, f32)
+    pos = jnp.asarray(positions, f32)
+    W, N, _ = pos.shape
+    Wp = ((W + _W_BLOCK - 1) // _W_BLOCK) * _W_BLOCK
+
+    px = jnp.zeros((Wp, LANE), f32)
+    py = jnp.zeros((Wp, LANE), f32)
+    # pad slots at a harmless never-eclipsed point far behind the observer
+    px = px.at[:, :].set(2.0)
+    px = px.at[:W, :N].set(pos[..., 0])
+    py = py.at[:W, :N].set(pos[..., 1])
+
+    mu = q / (1.0 + q)
+    i_rad = jnp.deg2rad(incl)
+    si, ci = jnp.sin(i_rad), jnp.cos(i_rad)
+    rad = 1.0 - x1
+    scal = jnp.zeros((Wp, 8), f32)
+    scal = scal.at[:W, 0].set(mu)
+    scal = scal.at[:W, 1].set(si)
+    scal = scal.at[:W, 2].set(ci)
+    scal = scal.at[:W, 3].set(rad)
+    scal = scal.at[:W, 4].set(pl1)
+    # padded walker rows: benign geometry (si = 1 avoids div-by-zero)
+    if Wp > W:
+        scal = scal.at[W:, 1].set(1.0)
+        scal = scal.at[W:, 3].set(0.4)
+
+    # inverse-trig setup outside the kernel (XLA): conjunction phase and
+    # the enclosing-sphere eclipse half-angle
+    wx = 1.0 - px
+    wy = -py
+    ww = wx * wx + wy * wy
+    phi_c = jnp.arctan2(py, wx) / (2.0 * jnp.pi)
+    si_b = scal[:, 1:2]
+    rad_b = scal[:, 3:4]
+    c_eff = jnp.sqrt(jnp.maximum(ww - rad_b * rad_b, 0.0)) / jnp.maximum(
+        si_b * jnp.sqrt(ww), 1e-12)
+    dphi_s = jnp.arccos(jnp.clip(c_eff, -1.0, 1.0)) / (2.0 * jnp.pi)
+
+    grid = (Wp // _W_BLOCK,)
+    row_spec = pl.BlockSpec((_W_BLOCK, LANE), lambda w: (w, 0))
+    scal_spec = pl.BlockSpec((_W_BLOCK, 8), lambda w: (w, 0))
+    out_shape = [jax.ShapeDtypeStruct((Wp, LANE), f32)] * 3
+    # trace the kernel with x64 disabled: the body is pure f32, but under
+    # an x64-enabled caller (the --precise/--x64 CLI modes enable it
+    # globally) pallas/fori internals pick up i64 scalars that Mosaic
+    # cannot legalize ("failed to legalize operation 'func.return'")
+    with jax.enable_x64(False):
+        pin, pout, ecl = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            in_specs=[scal_spec, row_spec, row_spec, row_spec, row_spec],
+            out_specs=[row_spec] * 3,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(scal, px, py, phi_c, dphi_s)
+    return (pin[:W, :N], pout[:W, :N], ecl[:W, :N] > 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Production integration: a custom-vmap op that presents the SCALAR
+# (per-walker) signature of components.element_intervals but collapses any
+# stack of vmaps (eclipses inside, walkers outside, shard_map blocks...)
+# into ONE batched Pallas kernel launch.  This is how the kernel becomes
+# the production hot path without restructuring the posterior: cv_fluxes
+# keeps calling a scalar-shaped function; jax.vmap batching is intercepted.
+# ---------------------------------------------------------------------------
+
+def _bcast(x, batched, axis_size):
+    x = jnp.asarray(x)
+    return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@jax.custom_batching.custom_vmap
+def _contacts_batched(q, incl, pos, x1, pl1):
+    """(W,)-batched contact intervals -> one Pallas launch."""
+    interp = jax.default_backend() != "tpu"
+    return element_intervals_pallas(q, incl, pos, x1, pl1,
+                                    interpret=interp)
+
+
+@_contacts_batched.def_vmap
+def _contacts_batched_vmap(axis_size, in_batched, q, incl, pos, x1, pl1):
+    # flatten the new leading batch dim into the walker dim and recurse:
+    # arbitrarily nested vmaps collapse into a single kernel launch
+    qb = _bcast(q, in_batched[0], axis_size)
+    ib = _bcast(incl, in_batched[1], axis_size)
+    pb = _bcast(pos, in_batched[2], axis_size)
+    xb = _bcast(x1, in_batched[3], axis_size)
+    lb = _bcast(pl1, in_batched[4], axis_size)
+    B, W = pb.shape[0], pb.shape[1]
+    out = _contacts_batched(
+        qb.reshape(-1), ib.reshape(-1),
+        pb.reshape((-1,) + pb.shape[2:]),
+        xb.reshape(-1), lb.reshape(-1))
+    pin, pout, ecl = (o.reshape((B, W) + o.shape[1:]) for o in out)
+    return (pin, pout, ecl), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def contacts_op(q, incl, pos, x1, pl1):
+    """Scalar-walker contact intervals with a Pallas-batched vmap rule.
+
+    Unbatched (rare: a single posterior evaluation) falls back to the XLA
+    solver; any vmap over walkers/eclipses routes to the fused kernel.
+    """
+    from ..models.components import element_intervals
+
+    return element_intervals(q, incl, pos, x1, pl1)
+
+
+@contacts_op.def_vmap
+def _contacts_op_vmap(axis_size, in_batched, q, incl, pos, x1, pl1):
+    out = _contacts_batched(
+        _bcast(q, in_batched[0], axis_size),
+        _bcast(incl, in_batched[1], axis_size),
+        _bcast(pos, in_batched[2], axis_size),
+        _bcast(x1, in_batched[3], axis_size),
+        _bcast(pl1, in_batched[4], axis_size))
+    return out, (True, True, True)

@@ -50,7 +50,31 @@ def main():
         out = fn(qs, incls)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
-    print(f"contact_interval: {W} walkers x {n_elem} elements: "
+    print(f"contact_interval (XLA):    {W} walkers x {n_elem} elements: "
+          f"{dt * 1e3:.2f} ms  ({W / dt:.0f} walkers/s)")
+
+    # --- Pallas kernel ---------------------------------------------------
+    from lfit_python_tpu.ops.pallas_contacts import element_intervals_pallas
+    from lfit_python_tpu.roche.geometry import findi
+
+    qv = qs
+    x1v = jax.jit(jax.vmap(xl1))(qv)
+    pl1v = jax.jit(jax.vmap(l1_potential))(qv, x1v)
+    posW = jnp.broadcast_to(pos[None], (W,) + pos.shape)
+
+    def run_pallas(q, incl, p, x1, pl1):
+        pin, pout, ecl = element_intervals_pallas(q, incl, p, x1, pl1)
+        return pin.sum() + pout.sum() + ecl.astype(dtype).sum()
+
+    fnp = jax.jit(run_pallas)
+    out = fnp(qv, incls, posW, x1v, pl1v)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fnp(qv, incls, posW, x1v, pl1v)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    print(f"contact_interval (Pallas): {W} walkers x {n_elem} elements: "
           f"{dt * 1e3:.2f} ms  ({W / dt:.0f} walkers/s)")
 
 
