@@ -75,6 +75,8 @@ def _fit(args):
                            n_donor_lat=6, n_donor_lon=8))
     if args.precise:
         cvcfg = cvcfg._replace(mixed_precision=True)
+    if args.pallas:
+        cvcfg = cvcfg._replace(pallas_contacts=True)
     ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
 
@@ -329,6 +331,10 @@ def main(argv=None):
                      help="mixed-precision mode: f32 speed with f64 scalar"
                           " geometry + near-root clearances (meets the"
                           " 1e-6 flux-parity gate, ~1.5-2x slower)")
+    fit.add_argument("--pallas", action="store_true",
+                     help="use the Pallas/Mosaic contact kernel as the hot"
+                          " path (faster standalone; see ROADMAP.md for"
+                          " the remote-compile caveat on this box)")
     fit.add_argument("--shard", action="store_true",
                      help="shard walkers over all visible devices")
     fit.add_argument("--resume", action="store_true",
