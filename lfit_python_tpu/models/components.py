@@ -52,6 +52,7 @@ __all__ = [
 # White dwarf
 # ---------------------------------------------------------------------------
 
+@jax.custom_jvp
 def _edge_visible_fraction(x, ulimb):
     """Visible flux fraction of a linearly limb-darkened disc cut by a
     straight shadow edge.
@@ -67,12 +68,37 @@ def _edge_visible_fraction(x, ulimb):
     Reference computes the same geometry numerically inside
     ``whitedwarf.cpp`` [R]; the straight-edge approximation is excellent
     because r_wd << lobe curvature radius.
+
+    Carries a custom JVP: autodiff of arccos at |a| = 1 yields inf * 0 =
+    NaN for every fully-visible/fully-occulted phase, but the TRUE
+    derivative is smooth —  dV/da = -[2 (1-u) sqrt(1-a^2)
+    + (pi/2) u (1-a^2)] / total,  which vanishes at the edges.
     """
     a = jnp.clip(-x, -1.0, 1.0)
     uni = jnp.arccos(a) - a * jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
     sq = 0.5 * jnp.pi * ((1.0 - a) - (1.0 - a**3) / 3.0)
     total = (1.0 - ulimb) * jnp.pi + ulimb * 2.0 * jnp.pi / 3.0
     return ((1.0 - ulimb) * uni + ulimb * sq) / total
+
+
+@_edge_visible_fraction.defjvp
+def _edge_visible_fraction_jvp(primals, tangents):
+    x, u = primals
+    xd, ud = tangents
+    val = _edge_visible_fraction(x, u)
+    a = jnp.clip(-x, -1.0, 1.0)
+    s2 = jnp.maximum(1.0 - a * a, 0.0)
+    total = (1.0 - u) * jnp.pi + u * 2.0 * jnp.pi / 3.0
+    # dV/da (smooth; zero at |a| = 1), dV/dx = -dV/da inside the clip
+    dVda = -(2.0 * (1.0 - u) * jnp.sqrt(s2) + 0.5 * jnp.pi * u * s2) / total
+    inside = (x > -1.0) & (x < 1.0)
+    dVdx = jnp.where(inside, -dVda, jnp.zeros_like(dVda))
+    # dV/du from the quotient rule: V = N/T with dN/du = sq - uni,
+    # dT/du = -pi/3
+    uni = jnp.arccos(a) - a * jnp.sqrt(s2)
+    sq = 0.5 * jnp.pi * ((1.0 - a) - (1.0 - a**3) / 3.0)
+    dVdu = (sq - uni) / total + val * (jnp.pi / 3.0) / total
+    return val, dVdx * xd + dVdu * ud
 
 
 def wd_visible_fraction(q, incl_deg, phase, rwd, ulimb, xl1_val, phi_l1):
@@ -352,6 +378,17 @@ def donor_grid(q, xl1_val, phi_l1, n_lat=16, n_lon=24, dtype=jnp.float64):
     n_iter = 54 if jnp.finfo(dtype).bits >= 64 else 30
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     r = 0.5 * (lo + hi)
+    # IFT tangent (zero primal change; roche.geometry.implicit_tangent):
+    # F(r) = Phi(c2 + r d) - Phi_L1, F_r along the direction in closed form
+    from ..roche.geometry import implicit_tangent
+    r0 = jax.lax.stop_gradient(r)
+    i1s = jax.lax.rsqrt(1.0 + 2.0 * r0 * dx + r0 * r0)
+    cxs = 1.0 + r0 * dx - jax.lax.stop_gradient(mu)
+    cys = r0 * dy
+    slope = ((1.0 - jax.lax.stop_gradient(mu)) * (r0 + dx) * i1s**3
+             + jax.lax.stop_gradient(mu) / (r0 * r0)
+             - (cxs * dx + cys * dy))
+    r = implicit_tangent(r, lobe_f(r0), jax.lax.stop_gradient(slope))
 
     # positions and outward normals (grad Phi), componentwise
     px = 1.0 + r * dx

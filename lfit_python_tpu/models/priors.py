@@ -90,11 +90,21 @@ def ln_prior_table(vals, table: PriorTable):
     p2 = jnp.asarray(table.p2, v.dtype)
     neg_inf = jnp.asarray(-jnp.inf, v.dtype)
 
+    # NB: every family is evaluated for every row and masked by the final
+    # code select, so out-of-domain inputs (negative v under a log, etc.)
+    # are VALUE-safe — but their *derivatives* must stay finite too, or
+    # the zero cotangent of an unselected row turns into 0/0 = NaN in the
+    # VJP and poisons jax.grad of the whole table.  Floors must be
+    # representable in the working dtype: 1e-300 underflows to 0.0 in f32,
+    # which is exactly how params starting at 0.0 (phi0, yaw) NaN'd the
+    # posterior gradient.
+    tiny = jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype)
+
     # uniform(lo, hi)
     ln_uni = jnp.where(
         (v >= p1) & (v <= p2), -jnp.log(p2 - p1), neg_inf)
     # log_uniform(lo, hi): p ~ 1/x on [lo, hi]
-    safe_v = jnp.maximum(v, 1e-300)
+    safe_v = jnp.maximum(v, tiny)
     ln_logu = jnp.where(
         (v >= p1) & (v <= p2),
         -jnp.log(safe_v) - jnp.log(jnp.log(p2 / p1)),
@@ -108,10 +118,14 @@ def ln_prior_table(vals, table: PriorTable):
     z = p1 / (jnp.sqrt(2.0) * p2)
     ln_norm_pos = jnp.log(0.5 * (1.0 + erf(z)))
     ln_gp = jnp.where(v >= 0.0, ln_g - ln_norm_pos, neg_inf)
-    # mod_jeff(knee, hi): p ~ 1/(v + knee) on [0, hi)
+    # mod_jeff(knee, hi): p ~ 1/(v + knee) on [0, hi); in-support rows
+    # have v + knee >= knee > 0, so the floor only sanitises the
+    # derivative of masked-out rows (v + p1 <= 0 for params whose table
+    # row reuses a uniform's negative p1)
     ln_mj = jnp.where(
         (v >= 0.0) & (v < p2),
-        -jnp.log(v + p1) - jnp.log(jnp.log((p2 + p1) / p1)),
+        -jnp.log(jnp.maximum(v + p1, tiny))
+        - jnp.log(jnp.log((p2 + p1) / p1)),
         neg_inf)
 
     stacked = jnp.stack([ln_uni, ln_logu, ln_g, ln_gp, ln_mj], axis=0)

@@ -58,6 +58,34 @@ _PHASE_ITERS = 54        # bisection for eclipse phase width
 _CLEAR_VISIBLE = 10.0
 
 
+def implicit_tangent(x, residual, slope):
+    """Attach the implicit-function-theorem tangent to a solved root with
+    EXACTLY zero primal change.
+
+    The fixed-iteration bisections here are (correctly) zero-derivative
+    under autodiff — the midpoint sequence is locally constant in the
+    parameters — so ``jax.grad`` of anything built on them silently
+    returns garbage (the round-2 xfail).  For a root x* of
+    F(x, theta) = 0 the IFT gives  dx*/dtheta = -F_theta / F_x;  this
+    helper realises that as
+
+        x  +  (d - stop_gradient(d)),      d = -residual / slope
+
+    where ``residual`` is F(stop_gradient(x*), theta) *evaluated so theta
+    flows through it* and ``slope`` is F_x at the root (value only — the
+    caller may stop_gradient it).  The primal value of d - sg(d) is
+    exactly 0.0 (same tensor subtracted from itself; non-finite d is
+    zeroed), so the solver's primal output is bitwise unchanged, while
+    the tangent becomes exactly the IFT derivative.  Used on the cheap
+    per-walker scalar solves; the per-element hot solve
+    (:func:`contact_interval`) uses a ``custom_jvp`` instead so its
+    primal program carries no extra ops at all.
+    """
+    d = -residual / slope
+    d = jnp.where(jnp.isfinite(d), d, jnp.zeros_like(d))
+    return jax.lax.stop_gradient(x) + (d - jax.lax.stop_gradient(d))
+
+
 def roche_potential(q, r):
     """Dimensionless synchronous Roche potential at position(s) ``r``.
 
@@ -103,7 +131,15 @@ def xl1(q):
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, _XL1_ITERS, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    x = 0.5 * (lo + hi)
+    # IFT tangent (zero primal change): F = dPhi/dx on the axis, with
+    # dF/dx and dF/dq in closed form
+    x0 = jax.lax.stop_gradient(x)
+    mu = q / (1.0 + q)
+    resid = _potential_on_axis_dx(q, x0)
+    slope = (-2.0 * (1.0 - jax.lax.stop_gradient(mu)) / x0**3
+             - 2.0 * jax.lax.stop_gradient(mu) / (1.0 - x0) ** 3 - 1.0)
+    return implicit_tangent(x, resid, slope)
 
 
 def l1_potential(q, xl1_val=None):
@@ -159,7 +195,9 @@ def ray_clearance(q, p, e, xl1_val, phi_l1, with_grad=False):
     tstar = jnp.dot(w, e)                       # closest approach parameter
     d2 = jnp.dot(w, w) - tstar * tstar          # squared miss distance
     disc = rad * rad - d2
-    half = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # 1e-30 floor: finite sqrt derivative on sphere-missing rays (see
+    # origin_shadow_distance)
+    half = jnp.sqrt(jnp.maximum(disc, 1e-30))
     t_lo = jnp.maximum(tstar - half, 0.0)
     t_hi = jnp.maximum(tstar + half, 0.0)
     # No occultation possible if the ray misses the donor sphere entirely
@@ -277,6 +315,12 @@ def findi(q, dphi, xl1_val=None, phi_l1=None):
 
     lo, hi = jax.lax.fori_loop(0, _FINDI_ITERS, body, (lo, hi))
     i_sol = 0.5 * (lo + hi)
+    # IFT tangent (zero primal change): the root of C(i; q, dphi, pl1) = 0
+    # where C is the origin clearance — C is built from explicit ops and
+    # an unrolled Newton, so jax can supply C_i and C_theta directly
+    i0 = jax.lax.stop_gradient(i_sol)
+    slope = jax.lax.stop_gradient(jax.grad(clear_at)(i0))
+    i_sol = implicit_tangent(i_sol, clear_at(i0), slope)
     feasible = clear_at(jnp.asarray(90.0, dtype)) <= 0.0
     return jnp.where(feasible, i_sol, jnp.nan)
 
@@ -348,7 +392,10 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
     # ray from the origin: r1 = t; r2^2 = t^2 - 2 ex t + 1
     tstar = ex                                  # w = (1,0,0); w.e = ex
     disc = rad * rad - (1.0 - tstar * tstar)
-    half = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # the 1e-30 floor (not 0) keeps d sqrt/d disc finite where the ray
+    # misses the sphere: sqrt'(0) = inf would otherwise poison gradients
+    # as 0-cotangent * inf = NaN on every fully-visible phase
+    half = jnp.sqrt(jnp.maximum(disc, 1e-30))
     t_lo = jnp.maximum(tstar - half, 1e-6)
     t_hi = jnp.maximum(tstar + half, 1e-6)
     no_occ = (disc <= 0.0) | (tstar + half <= 1e-9)
@@ -437,8 +484,8 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
     gz = rz * ((1.0 - mu) * i13 + mu * i23)
     gdote = gx * ex + gy * ey + gz * ci
     px_, py_, pz_ = gx - gdote * ex, gy - gdote * ey, gz - gdote * ci
-    g_norm = jnp.maximum(
-        jnp.sqrt(px_ * px_ + py_ * py_ + pz_ * pz_), 1e-12)
+    g_norm = jnp.sqrt(
+        jnp.maximum(px_ * px_ + py_ * py_ + pz_ * pz_, 1e-24))
     # NB: under ``precise`` the refined values are returned in f64 — the
     # caller (wd_flux) finishes the ill-conditioned arccos edge fraction
     # in f64 before casting down
@@ -472,6 +519,31 @@ def _grad_potential(q, r):
 
 def contact_interval(q, incl_deg, p, xl1_val, phi_l1, precise=None,
                      p64=None):
+    """Eclipse interval (phi_in, phi_out) of an orbital-plane point ``p``.
+
+    Differentiable (default mode): the contact phases carry
+    implicit-function-theorem tangents via a ``custom_jvp``
+    (:func:`_contact_interval_jvp`) — zero primal-program cost; the JVP
+    only materialises under differentiation.  The ``precise``
+    (mixed-precision) path is NOT differentiable (its purpose is parity,
+    not HMC; differentiate the default f32/f64 path instead).
+
+    See :func:`_contact_interval_impl` for the solver itself.
+    """
+    if precise is not None:
+        return _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1,
+                                      precise, p64)
+    return _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1)
+
+
+@jax.custom_jvp
+def _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1):
+    return _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1,
+                                  None, None)
+
+
+def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, precise=None,
+                           p64=None):
     """Eclipse interval (phi_in, phi_out) of an orbital-plane point ``p``.
 
     ``precise``: optional f64-*solved* (q, incl, xl1, pl1) scalars — the
@@ -751,6 +823,133 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1, precise=None,
     return phi_in, phi_out, eclipsed
 
 
+def _edge_residual(phi, q, incl_deg, px, py, xl1_val, phi_l1):
+    """Envelope clearance c(phi) = min_t Phi(r(t)) - Phi_L1 at fixed
+    ``phi`` for the orbital-plane point (px, py), plus the envelope
+    derivative dc/dphi — built from explicit ops and an unrolled clamped
+    Newton so jax can differentiate it in every argument.  This is the
+    residual function behind :func:`_contact_interval_jvp`; it reproduces
+    the impl's ``t_minimum``/``g_val`` math componentwise.
+    """
+    mu = q / (1.0 + q)
+    i_rad = jnp.deg2rad(incl_deg)
+    si, ci = jnp.sin(i_rad), jnp.cos(i_rad)
+    rad = 1.0 - xl1_val
+    wx, wy = 1.0 - px, -py
+    ww = wx * wx + wy * wy
+    c1 = px * px + py * py
+    c2n = ww
+    two_pi = 2.0 * jnp.pi
+    th = two_pi * phi
+    ex, ey = si * jnp.cos(th), -si * jnp.sin(th)
+    tstar = wx * ex + wy * ey
+    disc = rad * rad - (ww - tstar * tstar)
+    half = jnp.sqrt(jnp.maximum(disc, 1e-30))
+    t_lo = jnp.maximum(tstar - half, 0.0)
+    t_hi = jnp.maximum(tstar + half, 0.0)
+    no_occ = (disc <= 0.0) | (tstar + half <= 1e-9)
+    b1 = px * ex + py * ey
+    b2 = b1 - ex
+
+    def g_val(t):
+        i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+        i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + c2n)
+        cx = px - mu + t * ex
+        cy = py + t * ey
+        return -(1.0 - mu) * i1 - mu * i2 - 0.5 * (cx * cx + cy * cy)
+
+    def g_derivs(t):
+        i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+        i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + c2n)
+        u1, u2 = t + b1, t + b2
+        i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+        cx = px - mu + t * ex
+        cy = py + t * ey
+        g1 = ((1.0 - mu) * u1 * i13 + mu * u2 * i23
+              - (cx * ex + cy * ey))
+        g2 = ((1.0 - mu) * (i13 - 3.0 * u1 * u1 * i13 * i1 * i1)
+              + mu * (i23 - 3.0 * u2 * u2 * i23 * i2 * i2)
+              - (ex * ex + ey * ey))
+        return g1, g2
+
+    t = jnp.clip(tstar, t_lo, t_hi)
+    for _ in range(_EDGE_T_NEWTON):
+        g1, g2 = g_derivs(t)
+        step = jnp.where(g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
+        t = jnp.clip(t - step, t_lo, t_hi)
+    val = g_val(t)
+    v_lo, v_hi = g_val(t_lo), g_val(t_hi)
+    t = jnp.where(v_lo < val, t_lo, t)
+    val = jnp.minimum(val, v_lo)
+    t = jnp.where(v_hi < val, t_hi, t)
+    val = jnp.minimum(val, v_hi)
+    c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
+
+    rx, ry, rz = px + t * ex, py + t * ey, t * ci
+    i1 = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+    dx = rx - 1.0
+    i2 = jax.lax.rsqrt(dx * dx + ry * ry + rz * rz)
+    i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+    gx = (1.0 - mu) * rx * i13 + mu * dx * i23 - (rx - mu)
+    gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+    dcdphi = t * two_pi * (gx * ey - gy * ex)
+    return c, dcdphi
+
+
+@_contact_interval_diff.defjvp
+def _contact_interval_jvp(primals, tangents):
+    """IFT tangents for the contact phases: at a contact root phi* of
+    c(phi; theta) = 0,
+
+        dphi*/dtheta = - (dc/dtheta) / (dc/dphi),
+
+    with dc/dphi the analytic envelope derivative and dc/dtheta obtained
+    by jax.jvp of :func:`_edge_residual` at fixed phi*.  Never-eclipsed
+    points return (phi_c, phi_c) whose tangent is that of the smooth
+    conjunction phase phi_c(p).  The boolean ``eclipsed`` flag gets a
+    float0 tangent.  Linear in the input tangents, so reverse mode works
+    by transposition (jax.grad is supported).
+    """
+    import numpy as _np
+
+    q, incl_deg, p, xl1_val, phi_l1 = primals
+    qd, inld, pd, xvd, pld = tangents
+    out = _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1)
+    phi_in, phi_out, eclipsed = out
+
+    px, py = p[0], p[1]
+    pxd, pyd = pd[0], pd[1]
+
+    def edge_tangent(phi_e):
+        phi0 = jax.lax.stop_gradient(phi_e)
+
+        def c_of(qq, ii, pxx, pyy, xv, pll):
+            return _edge_residual(phi0, qq, ii, pxx, pyy, xv, pll)[0]
+
+        _, cdot = jax.jvp(
+            c_of, (q, incl_deg, px, py, xl1_val, phi_l1),
+            (qd, inld, pxd, pyd, xvd, pld))
+        _, dcdphi = _edge_residual(
+            phi0, q, incl_deg, px, py, xl1_val, phi_l1)
+        # guard on the PRIMAL coefficient only — the result must stay
+        # linear in ``cdot`` or reverse-mode transposition fails
+        coeff = -1.0 / dcdphi
+        coeff = jnp.where(jnp.isfinite(coeff), coeff,
+                          jnp.zeros_like(coeff))
+        return coeff * cdot
+
+    def phic(pxx, pyy):
+        return jnp.arctan2(pyy, 1.0 - pxx) / (2.0 * jnp.pi)
+
+    _, phicd = jax.jvp(phic, (px, py), (pxd, pyd))
+
+    din = jnp.where(eclipsed, edge_tangent(phi_in), phicd)
+    dout = jnp.where(eclipsed, edge_tangent(phi_out), phicd)
+    ecl_dot = _np.zeros(eclipsed.shape, dtype=jax.dtypes.float0)
+    return out, (din.astype(phi_in.dtype), dout.astype(phi_out.dtype),
+                 ecl_dot)
+
+
 def visible_fraction_interval(phase, width, phi_in, phi_out, eclipsed):
     """Fraction of the exposure [phase - width/2, phase + width/2] during
     which a point with eclipse interval (phi_in, phi_out) is VISIBLE.
@@ -802,4 +1001,10 @@ def lobe_radius(q, direction, xl1_val=None, phi_l1=None):
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, _LOBE_ITERS, body, (lo, hi))
-    return 0.5 * (lo + hi)
+    r = 0.5 * (lo + hi)
+    # IFT tangent (zero primal change): F(r) = Phi(c2 + r d) - Phi_L1,
+    # F_r = grad(Phi) . d
+    r0 = jax.lax.stop_gradient(r)
+    slope = jax.lax.stop_gradient(
+        jnp.dot(_grad_potential(q, c2 + r0 * direction), direction))
+    return implicit_tangent(r, f(r0), slope)

@@ -83,16 +83,36 @@ class TestPosterior:
         v2[names.index("rdisc_ecl0")] = 0.2001
         assert float(ln_prior(jnp.asarray(v2))) == -np.inf
 
-    @pytest.mark.xfail(
-        reason="gradients through the fixed-iteration root-finds need "
-        "implicit-function-theorem custom_jvp rules (planned; not required "
-        "by the stretch-move sampler)", strict=False)
     def test_gradient_exists(self, model_and_fns):
-        # not used by the stretch move, but the model should be
-        # differentiable for future HMC/NUTS support
+        # not used by the stretch move, but the posterior is differentiable
+        # (implicit-function-theorem tangents on every geometry root-find)
+        # so HMC/NUTS-class samplers are possible — a capability the
+        # scalar-C++ reference cannot offer
         cm, _, _, ln_prob = model_and_fns
-        g = jax.grad(lambda v: ln_prob(v))(jnp.asarray(cm.var_start()))
-        assert np.isfinite(np.asarray(g)).all()
+        g = np.asarray(jax.grad(lambda v: ln_prob(v))(
+            jnp.asarray(cm.var_start())))
+        assert np.isfinite(g).all()
+        # gradient is not trivially zero: data pulls on the flux params
+        assert np.max(np.abs(g)) > 1e-3
+
+    def test_gradient_matches_finite_differences(self, model_and_fns):
+        """IFT tangents vs central finite differences (f64) on a spread of
+        parameter types: flux scales, geometry roots (q, dphi, rwd), and
+        the smeared-phase offset phi0."""
+        cm, _, _, ln_prob = model_and_fns
+        v0 = jnp.asarray(cm.var_start())
+        g = np.asarray(jax.grad(lambda v: ln_prob(v))(v0))
+        names = cm.var_names()
+        f = lambda v: float(ln_prob(v))
+        for pname in ["wdFlux_g", "q_core", "dphi_core", "rwd_core",
+                      "rdisc_ecl0", "phi0_ecl0"]:
+            i = names.index(pname)
+            h = 1e-6 * max(abs(float(v0[i])), 1e-3)
+            e = jnp.zeros_like(v0).at[i].set(h)
+            fd = (f(v0 + e) - f(v0 - e)) / (2.0 * h)
+            scale = max(abs(fd), abs(g[i]), 1e-6)
+            assert abs(g[i] - fd) / scale < 5e-3, (
+                f"{pname}: grad {g[i]:.6g} vs FD {fd:.6g}")
 
 
 class TestShortMCMC:
