@@ -26,7 +26,7 @@ REFERENCE_5ECL_EVALS_PER_SEC = 200.0   # top of band / 5 eclipses
 REFERENCE_1ECL_EVALS_PER_SEC = 1000.0  # BASELINE.md upper-band estimate
 
 
-def _measure(model, n_walkers, dtype, reps=10):
+def _measure(model, n_walkers, dtype, reps=10, retries=1):
     import jax
     import jax.numpy as jnp
 
@@ -36,16 +36,24 @@ def _measure(model, n_walkers, dtype, reps=10):
     fn = jax.jit(jax.vmap(ln_prob))
     start = np.asarray(model.var_start(), np.float32)
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(
-        start[None, :] + 0.001 * np.abs(start)[None, :]
-        * rng.standard_normal((n_walkers, start.size)), dtype)
-    fn(pos).block_until_ready()          # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(pos)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return n_walkers / dt
+    pos_host = (start[None, :] + 0.001 * np.abs(start)[None, :]
+                * rng.standard_normal((n_walkers, start.size)))
+    # retry once on a transient TPU-worker fault (the round-2 driver
+    # artifact was lost to exactly one of these)
+    for attempt in range(retries + 1):
+        try:
+            pos = jnp.asarray(pos_host, dtype)
+            fn(pos).block_until_ready()          # compile + warmup
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(pos)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+            return n_walkers / dt
+        except jax.errors.JaxRuntimeError:
+            if attempt >= retries:
+                raise
+            time.sleep(10.0)
 
 
 def main():

@@ -26,11 +26,36 @@ def _p(name, start, prior, is_var=True):
     return Param(name, start, prior, is_var)
 
 
+def _fixture_fluxes(pars, phases, complex_spot):
+    """jit-cached CPU forward model for fixture generation (one compile
+    per (complex_spot, n_points) shape per process)."""
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=None)
+    def fn(cs):
+        return jax.jit(lambda p, ph: cv_fluxes(
+            p, ph, config=CVConfig(complex_spot=cs)).total)
+
+    return fn(bool(complex_spot))(pars, phases)
+
+
 def make_synthetic_lightcurve(n_points=100, noise=0.002, seed=0,
                               complex_spot=False, name="synth",
                               jitter=None):
     """Generate a light curve from TRUE_PARAMS (+ optional per-eclipse
-    parameter jitter dict) with white noise."""
+    parameter jitter dict) with white noise.
+
+    The forward-model evaluation is pinned to the host CPU backend:
+    fixture generation must never touch the accelerator (in an x64
+    process the parameter arrays are f64, and evaluating emulated-f64 on
+    a TPU just to make throwaway synthetic data is both slow and the
+    exact line a transient TPU-worker crash killed the round-2 bench
+    artifact on).  CPU f64 is also the parity oracle, so fixtures are
+    oracle-grade.
+    """
+    import jax
     import jax.numpy as jnp
 
     t = dict(TRUE_PARAMS)
@@ -40,11 +65,18 @@ def make_synthetic_lightcurve(n_points=100, noise=0.002, seed=0,
              "ulimb", "rwd", "scale", "az", "fis", "dexp", "phi0"]
     if complex_spot:
         order += ["exp1", "exp2", "tilt", "yaw"]
-    pars = jnp.asarray([t[k] for k in order])
     ph = np.linspace(-0.15, 0.15, n_points)
-    flux = np.asarray(
-        cv_fluxes(pars, jnp.asarray(ph),
-                  config=CVConfig(complex_spot=complex_spot)).total)
+    cpu = jax.devices("cpu")[0]
+    # committed-CPU inputs make the jitted evaluation run on the CPU
+    # backend; jit (vs eager) matters because the forward model contains a
+    # 6000-step stream scan that is minutes of op-by-op dispatch eagerly.
+    # The inputs MUST go numpy -> CPU directly: jnp.asarray would place
+    # them on the default (TPU) device and the TPU->CPU device_put then
+    # blocks on an accelerator transfer (observed stalling >2 min through
+    # the axon tunnel on this box).
+    pars = jax.device_put(np.asarray([t[k] for k in order]), cpu)
+    phj = jax.device_put(ph, cpu)
+    flux = np.asarray(_fixture_fluxes(pars, phj, complex_spot))
     rng = np.random.default_rng(seed)
     return Lightcurve(ph, flux + noise * rng.standard_normal(n_points),
                       np.full(n_points, noise), name=name)
