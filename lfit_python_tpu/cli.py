@@ -76,6 +76,14 @@ def _fit(args):
     if args.precise:
         cvcfg = cvcfg._replace(mixed_precision=True)
     if args.pallas:
+        if args.precise or args.x64:
+            # the Mosaic contact kernel is f32-only (models/cv.py gates on
+            # f32 + mixed_precision off) — refuse rather than silently
+            # running the XLA path the user tried to opt out of
+            ap_err = ("--pallas is incompatible with --precise/--x64: the "
+                      "Mosaic contact kernel is f32-only; drop one flag")
+            print(ap_err, file=sys.stderr)
+            return 2
         cvcfg = cvcfg._replace(pallas_contacts=True)
     ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
@@ -129,7 +137,13 @@ def _fit(args):
             from .utils.checkpoints import latest_checkpoint
             resume_from = latest_checkpoint(outdir)
         if resume_from:
+            from .sampling.pt import PTState
             ptstate, _ = load_checkpoint(resume_from)
+            if not isinstance(ptstate, PTState):
+                print(f"{resume_from} is an untempered (ensemble) "
+                      "checkpoint but this input sets usePT; refusing to "
+                      "resume across sampler kinds", file=sys.stderr)
+                return 2
             print(f"resumed from {resume_from} at step {int(ptstate.step)}")
         else:
             ptstate = init_pt(jax.random.PRNGKey(args.seed), start, scatter,
@@ -149,7 +163,8 @@ def _fit(args):
                 progress=lambda s, a: log("burn", s, a))
             ptstate = ptstate._replace(step=jnp.asarray(0, jnp.int32))
 
-        writer = ChainWriter(outdir / "chain_prod.txt", model.var_names())
+        writer = ChainWriter(outdir / "chain_prod.txt", model.var_names(),
+                             append=bool(resume_from))
         ckpt_every = max(args.checkpoint_every, 1)
         done = int(ptstate.step)
         all_chain, all_lp = [], []
@@ -167,9 +182,16 @@ def _fit(args):
                             {"input": str(args.input), "stage": "prod",
                              "kind": "pt"})
         writer.close()
-        chain = np.concatenate(all_chain) if all_chain else np.empty(
-            (0, n_walkers, model.n_var))
-        lp = np.concatenate(all_lp) if all_lp else np.empty((0, n_walkers))
+        if resume_from:
+            # pre-crash segments live only in the chain file; report over
+            # the full run, not just the post-resume tail
+            from .utils.chains import read_chain
+            chain, lp, _ = read_chain(outdir / "chain_prod.txt")
+        else:
+            chain = np.concatenate(all_chain) if all_chain else np.empty(
+                (0, n_walkers, model.n_var))
+            lp = np.concatenate(all_lp) if all_lp else np.empty(
+                (0, n_walkers))
         dt = time.time() - t0
         n_evals = (n_burn + n_prod) * n_walkers * n_temps
         print(f"PT ({n_temps} rungs) total {dt:.1f}s, "
@@ -184,7 +206,13 @@ def _fit(args):
         resume_from = latest_checkpoint(outdir)
 
     if resume_from:
+        from .sampling.ensemble import EnsembleState
         state, meta = load_checkpoint(resume_from)
+        if not isinstance(state, EnsembleState):
+            print(f"{resume_from} is a parallel-tempered checkpoint but "
+                  "this input does not set usePT; refusing to resume "
+                  "across sampler kinds", file=sys.stderr)
+            return 2
         print(f"resumed from {resume_from} at step {int(state.step)}")
     else:
         state = init_walkers(
@@ -224,7 +252,8 @@ def _fit(args):
                 state, ln_prob, n_burn, batch_fn=batch_fn, chunk_size=chunk,
                 progress=lambda s, a: log("burn2", s, a))
 
-    writer = ChainWriter(outdir / "chain_prod.txt", model.var_names())
+    writer = ChainWriter(outdir / "chain_prod.txt", model.var_names(),
+                         append=bool(resume_from))
     ckpt_every = max(args.checkpoint_every, 1)
     if not resume_from:
         # production step count starts at zero (the reference resets the
@@ -248,9 +277,15 @@ def _fit(args):
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)
 
-    chain = np.concatenate(all_chain) if all_chain else np.empty(
-        (0, n_walkers, model.n_var))
-    lp = np.concatenate(all_lp) if all_lp else np.empty((0, n_walkers))
+    if resume_from:
+        # pre-crash segments live only in the chain file; report over the
+        # full run, not just the post-resume tail
+        from .utils.chains import read_chain
+        chain, lp, _ = read_chain(outdir / "chain_prod.txt")
+    else:
+        chain = np.concatenate(all_chain) if all_chain else np.empty(
+            (0, n_walkers, model.n_var))
+        lp = np.concatenate(all_lp) if all_lp else np.empty((0, n_walkers))
     dt = time.time() - t0
     n_evals = (n_burn + n_prod) * n_walkers
     print(f"total {dt:.1f}s, ~{n_evals / max(dt, 1e-9):.0f} ln-prob evals/s")
@@ -284,7 +319,16 @@ def _report(model, chain, lp, outdir, args):
     full_best = model.full_from_var(best)
     if not args.no_plots:
         flat = chain[len(chain) // 4:].reshape(-1, model.n_var)
-        corner_plot(flat, model.var_names(), outdir / "corner.png")
+        names = model.var_names()
+        corner_plot(flat, names, outdir / "corner.png")
+        # per-node corners (reference per-node thumbPlot [R-med]): one per
+        # tree node keeps the big hierarchical fits readable.  Only when
+        # the tree actually has multiple nodes with variable params.
+        groups = model.var_groups()
+        if len(groups) > 1:
+            for label, idx in groups:
+                corner_plot(flat[:, idx], [names[i] for i in idx],
+                            outdir / f"corner_{label}.png")
         for k in range(model.n_eclipses):
             if not model.plot_mask[k]:       # reference plot_<i> = 0 [R-med]
                 continue

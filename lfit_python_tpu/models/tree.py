@@ -84,11 +84,55 @@ class Lightcurve:
         width = arr[:, 3] if arr.shape[1] > 3 else None
         lc = cls(arr[:, 0], arr[:, 1], arr[:, 2], width,
                  name or str(path))
-        if trim is not None:
-            m = (lc.phase >= trim[0]) & (lc.phase <= trim[1])
-            lc = cls(lc.phase[m], lc.flux[m], lc.err[m],
-                     None if width is None else lc.width[m], lc.name)
-        return lc
+        return lc.trimmed(trim)
+
+    @classmethod
+    def from_calib(cls, path, name=None, trim=None, t0=None, period=None):
+        """Load calibrated photometry (reference ``Lightcurve.from_calib``
+        [R-med], SURVEY.md §2 "Lightcurve container").
+
+        Calib files carry 3 columns (phase-or-time, flux [mJy], err) and
+        no exposure-width column; the finite-exposure width the smearing
+        model needs is reconstructed as the median sample spacing — the
+        published .calib light curves are contiguous exposures, so the
+        cadence IS the exposure time.  If an ephemeris ``(t0, period)``
+        is given, column 0 is absolute time (e.g. BJD) and is folded to
+        orbital phase in [-0.5, 0.5) and sorted.
+
+        NOTE [R-med]: the reference mount is empty (SURVEY.md provenance
+        warning), so the exact reference calib semantics could not be
+        read; this reconstruction is definitional for the framework and
+        flagged for re-verification if the mount populates.
+        """
+        arr = np.loadtxt(path, dtype=np.float64)
+        if arr.ndim == 1:
+            arr = arr[None]
+        if arr.shape[1] < 3:
+            raise ValueError(
+                f"{path}: expected >=3 columns (phase-or-time flux err)")
+        x, flux, err = arr[:, 0], arr[:, 1], arr[:, 2]
+        if (t0 is None) != (period is None):
+            raise ValueError("from_calib: give both t0 and period or neither")
+        if t0 is not None:
+            x = ((x - t0) / period + 0.5) % 1.0 - 0.5
+            order = np.argsort(x)
+            x, flux, err = x[order], flux[order], err[order]
+        if len(x) > 1:
+            width = np.full_like(x, np.median(np.abs(np.diff(x))))
+        else:
+            width = None
+        lc = cls(x, flux, err, width, name or str(path))
+        return lc.trimmed(trim)
+
+    def trimmed(self, trim):
+        """Mask to a phase range (reference ``Lightcurve.trim`` [R-med]);
+        ``trim=None`` returns self unchanged."""
+        if trim is None:
+            return self
+        m = (self.phase >= trim[0]) & (self.phase <= trim[1])
+        return type(self)(
+            self.phase[m], self.flux[m], self.err[m],
+            None if self.width is None else self.width[m], self.name)
 
     def __len__(self):
         return len(self.phase)
@@ -135,9 +179,12 @@ class CompiledModel:
         names: List[str] = []
         params: List[Param] = []
 
+        labels: List[str] = []
+
         def add(p: Param, label: str):
             names.append(f"{p.name}_{label}")
             params.append(p)
+            labels.append(label)
 
         for n in CORE_NAMES:
             add(spec.core[n], "core")
@@ -152,6 +199,7 @@ class CompiledModel:
                 add(ecl.params[n], ecl.name)
 
         self.param_names = names
+        self.param_labels = labels
         self.params = params
         self.full_start = np.asarray([p.start for p in params], np.float64)
         self.var_mask = np.asarray([p.is_var for p in params], bool)
@@ -245,6 +293,24 @@ class CompiledModel:
 
     def var_names(self):
         return [self.param_names[i] for i in self.var_idx]
+
+    def var_groups(self):
+        """Variable-parameter indices grouped by tree node (core, each
+        band, each eclipse), in tree order: [(label, [var positions])].
+
+        Backs the reference's per-node corner plots [R-med] — a 10-eclipse
+        production fit has ~50 variable params, unreadable as one global
+        corner; the per-node split is the usable form.
+        """
+        order: List[str] = []
+        groups: Dict[str, List[int]] = {}
+        for pos, i in enumerate(self.var_idx):
+            label = self.param_labels[i]
+            if label not in groups:
+                groups[label] = []
+                order.append(label)
+            groups[label].append(pos)
+        return [(label, groups[label]) for label in order]
 
     def cv_params(self, full_vec):
         """Per-eclipse 18-slot CV parameter matrix (E, 18) from a full

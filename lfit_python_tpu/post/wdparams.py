@@ -134,11 +134,27 @@ class GridInterpolator:
 
     @classmethod
     def from_file(cls, path, band_names):
-        """Load a ``Teff logg mag_<band>...`` table (header names bands)."""
+        """Load a ``Teff logg <band>...`` whitespace table.
+
+        The first line is the column header (with or without a leading
+        ``#`` — the published Bergeron DA tables use a bare header line);
+        remaining rows must form a complete rectangular (Teff, logg) grid.
+        Band columns are matched by name, so extra columns (Mass, Mbol,
+        other filters) are ignored.
+        """
         path = Path(path)
-        header = path.read_text().splitlines()[0].lstrip("#").split()
+        first = path.read_text().splitlines()[0]
+        header = first.lstrip("#").split()
         cols = {n: i for i, n in enumerate(header)}
-        raw = np.loadtxt(path)
+        for required in ("Teff", "logg", *band_names):
+            if required not in cols:
+                raise ValueError(
+                    f"{path}: header is missing column {required!r} "
+                    f"(found: {header})")
+        raw = np.loadtxt(
+            path, skiprows=0 if first.lstrip().startswith("#") else 1)
+        if raw.ndim == 1:
+            raw = raw[None]
         teffs = np.unique(raw[:, cols["Teff"]])
         loggs = np.unique(raw[:, cols["logg"]])
         mags = np.full((len(teffs), len(loggs), len(band_names)), np.nan)

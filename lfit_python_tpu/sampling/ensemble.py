@@ -172,11 +172,15 @@ def run_sampler(state: EnsembleState, ln_prob_fn, n_steps, a=2.0, thin=1,
         return jax.lax.scan(body, state, None, length=n)
 
     kept_pos, kept_lp, accs = [], [], []
+    # thin phase is anchored to the *global* step counter so kept-sample
+    # spacing stays regular across checkpoint-segment boundaries (the CLI
+    # calls run_sampler once per segment; a call-local counter would
+    # restart the phase each time)
+    phase0 = int(state.step)
     done = 0
     for n in chunks:
         state, (cpos, clp, cacc) = run_chunk(state, n)
-        # thin relative to the global step counter
-        idx = [k for k in range(n) if (done + k + 1) % thin == 0]
+        idx = [k for k in range(n) if (phase0 + done + k + 1) % thin == 0]
         if idx:
             sel = np.asarray(idx)
             kept_pos.append(np.asarray(cpos)[sel])

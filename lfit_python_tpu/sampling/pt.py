@@ -202,10 +202,13 @@ def run_pt(state: PTState, ln_prior_fn, ln_like_fn, n_steps, a=2.0,
         return jax.lax.scan(body, st, None, length=n)
 
     kept_pos, kept_lp, accs = [], [], []
+    # global-step-anchored thin phase (see ensemble.run_sampler): regular
+    # kept-sample spacing across checkpoint segments
+    phase0 = int(state.step)
     done = 0
     for n in chunks:
         state, (cpos, clp, cacc) = run_chunk(state, n)
-        idx = [k for k in range(n) if (done + k + 1) % thin == 0]
+        idx = [k for k in range(n) if (phase0 + done + k + 1) % thin == 0]
         if idx:
             sel = np.asarray(idx)
             kept_pos.append(np.asarray(cpos)[sel])

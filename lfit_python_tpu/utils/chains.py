@@ -35,11 +35,22 @@ class ChainWriter:
     the first-class checkpointing in utils/checkpoints.py.
     """
 
-    def __init__(self, path, param_names: Sequence[str], use_native=True):
+    def __init__(self, path, param_names: Sequence[str], use_native=True,
+                 append=False):
+        """``append=True`` keeps an existing file's rows (resume): the
+        header is only written for a new/empty file, never re-truncating
+        samples already on disk."""
         self.path = Path(path)
         self.param_names = list(param_names)
         header = "# walker " + " ".join(self.param_names) + " ln_prob\n"
-        self.path.write_text(header)
+        if append and self.path.exists() and self.path.stat().st_size:
+            existing = self.path.open().readline()
+            if existing != header:
+                raise ValueError(
+                    f"{self.path} exists with a different parameter header; "
+                    "refusing to append a mismatched chain")
+        else:
+            self.path.write_text(header)
         self._fh = self.path.open("a")
         self._use_native = use_native
 

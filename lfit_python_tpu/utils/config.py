@@ -52,7 +52,7 @@ COMP_SCAT_FRACTIONS = {
 
 _META_INT = {"nwalkers", "nburn", "nprod", "nthreads", "neclipses", "ntemps",
              "nsub", "thin"}
-_META_FLOAT = {"scatter_1", "scatter_2"}
+_META_FLOAT = {"scatter_1", "scatter_2", "t0", "period"}
 _META_BOOL = {"complex", "useGP", "usePT", "double_burnin", "comp_scat",
               "notify", "useGP_default"}
 
@@ -72,6 +72,7 @@ class FitConfig:
     complex_flags: Dict[int, bool] = field(default_factory=dict)
     gp_flags: Dict[int, bool] = field(default_factory=dict)
     plot_flags: Dict[int, bool] = field(default_factory=dict)
+    calib_flags: Dict[int, bool] = field(default_factory=dict)
     trims: Dict[int, tuple] = field(default_factory=dict)
     source: Optional[Path] = None
 
@@ -111,7 +112,8 @@ def parse_input_dat(path) -> FitConfig:
         if not m:
             raise ValueError(f"{path}: cannot parse line: {raw!r}")
         key, val = m.groups()
-        fm = re.match(r"^(file|band|plot|complex|useGP|trim)_(\d+)$", key)
+        fm = re.match(r"^(file|band|plot|complex|useGP|calib|trim)_(\d+)$",
+                      key)
         if fm:
             kind, idx = fm.group(1), int(fm.group(2))
             if kind == "file":
@@ -124,6 +126,8 @@ def parse_input_dat(path) -> FitConfig:
                 cfg.gp_flags[idx] = _parse_bool(val)
             elif kind == "plot":
                 cfg.plot_flags[idx] = _parse_bool(val)
+            elif kind == "calib":
+                cfg.calib_flags[idx] = _parse_bool(val)
             elif kind == "trim":
                 lo, hi = val.split()
                 cfg.trims[idx] = (float(lo), float(hi))
@@ -177,8 +181,16 @@ def build_model_from_config(cfg: FitConfig, data_dir=None) -> HierarchicalModel:
         fname = cfg.files.get(k)
         if fname is None:
             raise KeyError(f"{cfg.source}: missing file_{k} entry")
-        lc = Lightcurve.from_file(data_dir / fname, name=f"ecl{k}",
-                                  trim=cfg.trims.get(k))
+        # calibrated photometry: opt in per eclipse (calib_<i> = 1) or by
+        # the reference data files' .calib extension; an optional global
+        # ephemeris (t0, period) folds time-domain calib data to phase
+        if cfg.calib_flags.get(k, fname.endswith(".calib")):
+            lc = Lightcurve.from_calib(
+                data_dir / fname, name=f"ecl{k}", trim=cfg.trims.get(k),
+                t0=cfg.meta.get("t0"), period=cfg.meta.get("period"))
+        else:
+            lc = Lightcurve.from_file(data_dir / fname, name=f"ecl{k}",
+                                      trim=cfg.trims.get(k))
         eclipses.append(EclipseSpec(
             str(k), band, lc, params, complex_spot=cplx, use_gp=gp,
             plot=cfg.plot_flags.get(k, True)))

@@ -71,6 +71,10 @@ class TestFitCLI:
         # checkpoints + plots
         assert (out / "checkpoint_0000016.npz").exists()
         assert (out / "corner.png").exists()
+        # per-node corners: core / band g / eclipse ecl0
+        assert (out / "corner_core.png").exists()
+        assert (out / "corner_g.png").exists()
+        assert (out / "corner_ecl0.png").exists()
         assert (out / "eclipse_0.png").exists()
         assert (out / "metrics.jsonl").stat().st_size > 0
 
@@ -85,6 +89,24 @@ class TestFitCLI:
                    "--checkpoint-every", "8"])
         assert rc == 0
         assert (out / "checkpoint_0000024.npz").exists()
+        # resume must APPEND: the 16 pre-resume production steps stay in
+        # the chain file alongside the 8 new ones (ADVICE round 2: the
+        # writer used to truncate on resume, losing everything pre-crash)
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, _ = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (24, 32, 13)
+        assert np.isfinite(lnp).all()
+
+    def test_resume_kind_mismatch_rejected(self, fit_dir):
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out"  # ensemble checkpoints from the tests above
+        inp = (fit_dir / "mcmc_input.dat").read_text()
+        pt_inp = fit_dir / "mcmc_input_pt_mismatch.dat"
+        pt_inp.write_text(inp + "\nusePT = 1\nntemps = 3\n")
+        rc = main(["fit", str(pt_inp), "--outdir", str(out), "--quiet",
+                   "--resume", "--resolution", "low", "--no-plots"])
+        assert rc == 2
 
 
 class TestPTCLI:

@@ -157,6 +157,23 @@ class TestChainIO:
         np.testing.assert_allclose(chain2, chain, rtol=1e-9)
         np.testing.assert_allclose(lp2, lp, rtol=1e-9)
 
+    def test_writer_append_mode_keeps_rows(self, tmp_path):
+        # resume path (ADVICE round 2): append=True must not truncate the
+        # rows already on disk, and must reject a mismatched header
+        rng = np.random.default_rng(3)
+        chain = rng.standard_normal((6, 4, 3))
+        lp = rng.standard_normal((6, 4))
+        path = tmp_path / "chain_prod.txt"
+        with ChainWriter(path, ["a", "b", "c"]) as w:
+            w.append(chain[:4], lp[:4])
+        with ChainWriter(path, ["a", "b", "c"], append=True) as w:
+            w.append(chain[4:], lp[4:])
+        chain2, lp2, names = read_chain(path)
+        np.testing.assert_allclose(chain2, chain, rtol=1e-9)
+        np.testing.assert_allclose(lp2, lp, rtol=1e-9)
+        with pytest.raises(ValueError):
+            ChainWriter(path, ["x", "y", "z"], append=True)
+
     def test_flatchain_and_summary(self):
         rng = np.random.default_rng(1)
         chain = 2.0 + 0.5 * rng.standard_normal((100, 16, 2))
@@ -265,6 +282,99 @@ class TestWDParams:
         got = {row["name"]: row["median"] for row in report["params"]}
         assert got["teff"] == pytest.approx(true_t, rel=0.1)
         assert got["logg"] == pytest.approx(true_g, abs=0.5)
+
+    @staticmethod
+    def _write_grid(path, hash_header=True):
+        """Small rectangular Bergeron-format fixture: mags are an exact
+        bilinear function of (Teff, logg), so interpolation is testable
+        analytically.  Includes an extra (Mass) column the loader must
+        ignore."""
+        teffs = [10000.0, 15000.0, 20000.0, 30000.0]
+        loggs = [7.5, 8.0, 8.5]
+        lines = [("# " if hash_header else "") + "Teff logg Mass g r"]
+        for t in teffs:
+            for g in loggs:
+                mg = 10.0 + t / 1e4 + 2.0 * g
+                mr = 11.0 - t / 2e4 + 1.5 * g
+                lines.append(f"{t:.1f} {g:.2f} 0.6 {mg:.6f} {mr:.6f}")
+        path.write_text("\n".join(lines) + "\n")
+        return teffs, loggs
+
+    def test_bergeron_format_roundtrip(self, tmp_path):
+        """GridInterpolator.from_file on a Bergeron-format fixture
+        (VERDICT round-2 missing #1): node values exact, midpoints exactly
+        bilinear, extra columns ignored, both header styles accepted."""
+        from lfit_python_tpu.post.wdparams import GridInterpolator
+
+        p = tmp_path / "da_grid.txt"
+        self._write_grid(p, hash_header=True)
+        interp = GridInterpolator.from_file(p, ["g", "r"])
+        # node value is exact
+        np.testing.assert_allclose(
+            np.asarray(interp(15000.0, 8.0)),
+            [10.0 + 1.5 + 16.0, 11.0 - 0.75 + 12.0], rtol=1e-6)
+        # midpoint of a cell: mags are bilinear in (Teff, logg), so the
+        # interpolator must reproduce them exactly there too
+        np.testing.assert_allclose(
+            np.asarray(interp(12500.0, 7.75)),
+            [10.0 + 1.25 + 15.5, 11.0 - 0.625 + 11.625], rtol=1e-6)
+        # bare (no '#') header, as the published Bergeron tables use
+        p2 = tmp_path / "da_grid_bare.txt"
+        self._write_grid(p2, hash_header=False)
+        interp2 = GridInterpolator.from_file(p2, ["g", "r"])
+        np.testing.assert_array_equal(interp.mags, interp2.mags)
+
+    def test_bergeron_format_errors(self, tmp_path):
+        from lfit_python_tpu.post.wdparams import GridInterpolator
+
+        # ragged grid: drop one (Teff, logg) row -> hard error, not NaNs
+        p = tmp_path / "ragged.txt"
+        self._write_grid(p)
+        lines = p.read_text().splitlines()
+        p.write_text("\n".join(lines[:-1]) + "\n")
+        with pytest.raises(ValueError, match="rectangular"):
+            GridInterpolator.from_file(p, ["g", "r"])
+        # missing band column named clearly
+        p3 = tmp_path / "ok.txt"
+        self._write_grid(p3)
+        with pytest.raises(ValueError, match="missing column 'z'"):
+            GridInterpolator.from_file(p3, ["g", "z"])
+
+    @pytest.mark.slow
+    def test_end_to_end_with_grid_file(self, tmp_path):
+        """wdparams --grid <file>: the real-table ingestion path runs the
+        full fit and recovers a point generated from the fixture grid."""
+        from lfit_python_tpu.post.wdparams import GridInterpolator
+
+        p = tmp_path / "da_grid.txt"
+        self._write_grid(p)
+        lams = [4770.0, 6231.0]
+        true_t, true_g, true_plax = 16000.0, 8.2, 4.0
+        interp = GridInterpolator.from_file(p, ["g", "r"])
+        mags = np.asarray(interp(true_t, true_g))
+        dist = 1000.0 / true_plax
+        f = 3631e3 * 10 ** (-0.4 * (mags + 5 * np.log10(dist / 10)))
+        lines = [
+            "teff = 14000 uniform 10000 30000 1",
+            "logg = 8.0 uniform 7.5 8.5 1",
+            f"plax = {true_plax} gauss {true_plax} 0.1 1",
+            f"flux_g = {f[0]:.6e} {f[0] * 0.01:.6e} {lams[0]}",
+            f"flux_r = {f[1]:.6e} {f[1] * 0.01:.6e} {lams[1]}",
+        ]
+        inp = tmp_path / "wd_input_grid.dat"
+        inp.write_text("\n".join(lines) + "\n")
+
+        from lfit_python_tpu.cli import main
+        rc = main(["wdparams", str(inp), "--outdir", str(tmp_path / "outg"),
+                   "--grid", str(p),
+                   "--nburn", "300", "--nprod", "400", "--nwalkers", "32"])
+        assert rc == 0
+        report = json.loads(
+            (tmp_path / "outg" / "wdparams.json").read_text())
+        assert report["grid"] == str(p)
+        got = {row["name"]: row["median"] for row in report["params"]}
+        assert got["teff"] == pytest.approx(true_t, rel=0.1)
+        assert got["logg"] == pytest.approx(true_g, abs=0.4)
 
     def test_extinction_coefficients_sane(self):
         """CCM89 coefficients: extinction falls with wavelength through the

@@ -143,6 +143,20 @@ class TestTree:
         assert "ulimb_g" not in m.var_names()
         assert m.n_var == m.n_full - 1
 
+    def test_var_groups_by_node(self):
+        """Per-node grouping for corner plots: core, band, then eclipses,
+        covering every variable param exactly once."""
+        m = make_tiny_model().compile()
+        groups = dict(m.var_groups())
+        assert list(dict(m.var_groups())) == ["core", "g", "ecl0", "ecl1"]
+        names = m.var_names()
+        assert [names[i] for i in groups["core"]] == \
+            ["q_core", "dphi_core", "rwd_core"]
+        # ulimb_g is fixed -> the band group holds only the two flux params
+        assert [names[i] for i in groups["g"]] == ["wdFlux_g", "rsFlux_g"]
+        covered = sorted(i for idx in groups.values() for i in idx)
+        assert covered == list(range(m.n_var))
+
     def test_full_from_var_roundtrip(self):
         m = make_tiny_model().compile()
         v = m.var_start() + 0.001
@@ -183,3 +197,65 @@ class TestTree:
         lc = Lightcurve.from_file(f, trim=(-0.1, 0.1))
         assert len(lc) == 20
         assert lc.width is None
+
+    def test_from_calib_width_from_cadence(self, tmp_path):
+        """Calib files (phase flux err, no width column) get their
+        exposure width reconstructed as the median sample spacing
+        (reference from_calib [R-med])."""
+        f = tmp_path / "lc.calib"
+        ph = np.linspace(-0.2, 0.2, 41)          # spacing 0.01
+        np.savetxt(f, np.column_stack([ph, np.ones(41), np.full(41, 0.1)]))
+        lc = Lightcurve.from_calib(f)
+        assert lc.width is not None
+        np.testing.assert_allclose(lc.width, 0.01, rtol=1e-9)
+        # trim applies to the calib path too
+        lc2 = Lightcurve.from_calib(f, trim=(-0.1, 0.1))
+        assert len(lc2) == 21
+
+    def test_from_calib_ephemeris_folding(self, tmp_path):
+        f = tmp_path / "lc_time.calib"
+        t0, period = 55000.0, 0.07
+        # 2.5 orbits of contiguous exposures
+        t = t0 + np.linspace(0, 2.5 * period, 100, endpoint=False)
+        np.savetxt(f, np.column_stack([t, np.ones(100), np.full(100, 0.1)]))
+        lc = Lightcurve.from_calib(f, t0=t0, period=period)
+        assert (-0.5 <= lc.phase).all() and (lc.phase < 0.5).all()
+        assert (np.diff(lc.phase) >= 0).all()      # sorted after folding
+        # phase of the first sample: t = t0 -> phase 0
+        assert np.min(np.abs(lc.phase)) < 1e-9
+        with pytest.raises(ValueError, match="both t0 and period"):
+            Lightcurve.from_calib(f, t0=t0)
+
+    def test_config_routes_calib_files(self, tmp_path):
+        """.calib extension (or calib_<i> = 1) routes through from_calib;
+        the global ephemeris folds time-domain data."""
+        from lfit_python_tpu.utils.config import (
+            build_model_from_config, parse_input_dat)
+
+        ph = np.linspace(-0.15, 0.15, 30)
+        np.savetxt(tmp_path / "e0.calib",
+                   np.column_stack([ph, np.ones(30), np.full(30, 0.1)]))
+        param_lines = "\n".join([
+            "q_core    = 0.15  uniform 0.03 3.0  1",
+            "dphi_core = 0.04  uniform 0.01 0.2  1",
+            "rwd_core  = 0.01  uniform 0.0005 0.1 1",
+            "wdFlux_g = 0.1  uniform 0 1 1",
+            "rsFlux_g = 0.03 uniform 0 1 1",
+            "ulimb_g  = 0.3  gauss 0.3 0.05 0",
+            "dFlux_0 = 0.05 uniform 0 1 1",
+            "sFlux_0 = 0.08 uniform 0 1 1",
+            "rdisc_0 = 0.44 uniform 0.2 0.9 1",
+            "scale_0 = 0.02 log_uniform 1e-4 0.5 1",
+            "az_0    = 160  uniform 50 175 1",
+            "fis_0   = 0.2  uniform 0 1 1",
+            "dexp_0  = 1.5  uniform 0 3 1",
+            "phi0_0  = 0.0  uniform -0.05 0.05 1",
+        ])
+        inp = tmp_path / "in.dat"
+        inp.write_text(
+            "neclipses = 1\nfile_0 = e0.calib\nband_0 = g\n" + param_lines
+            + "\n")
+        model = build_model_from_config(parse_input_dat(inp))
+        lc = model.eclipses[0].lightcurve
+        assert lc.width is not None           # came through from_calib
+        np.testing.assert_allclose(lc.width, ph[1] - ph[0], rtol=1e-9)

@@ -51,6 +51,23 @@ class TestGaussianTarget:
         assert acc.shape == (100,)
         assert int(state.step) == 100
 
+    def test_thin_phase_spans_segments(self):
+        # the CLI calls run_sampler once per checkpoint segment; thinning
+        # must be anchored to the global step counter so kept-sample
+        # spacing stays regular across segment boundaries (ADVICE round 2)
+        def ln_prob(x):
+            return -0.5 * jnp.sum(x * x)
+
+        key = jax.random.PRNGKey(7)
+        state = init_walkers(key, jnp.zeros(2), jnp.ones(2), ln_prob, 16)
+        state, c1, _, _ = run_sampler(state, ln_prob, 25, thin=10,
+                                      chunk_size=8)
+        state, c2, _, _ = run_sampler(state, ln_prob, 25, thin=10,
+                                      chunk_size=8)
+        # global keeps at steps 10,20 | 30,40,50 -> 2 + 3 = 5 = 50/10
+        assert len(c1) == 2 and len(c2) == 3
+        assert int(state.step) == 50
+
     def test_deterministic_given_key(self):
         def ln_prob(x):
             return -0.5 * jnp.sum(x * x)
