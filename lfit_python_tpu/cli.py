@@ -85,6 +85,25 @@ def _fit(args):
             print(ap_err, file=sys.stderr)
             return 2
         cvcfg = cvcfg._replace(pallas_contacts=True)
+    if args.sampler == "hmc":
+        # HMC differentiates the posterior: the --precise refinement path
+        # is primal-only by design and the Pallas kernel carries no JVP
+        # rule, so both are incompatible rather than silently wrong
+        if args.precise or args.pallas:
+            print("--sampler hmc is incompatible with --precise/--pallas "
+                  "(those paths are not differentiable); drop one flag",
+                  file=sys.stderr)
+            return 2
+        if bool(cfg.get("usePT", False)):
+            print("--sampler hmc ignores usePT (no tempered HMC ladder); "
+                  "unset usePT or use the default ensemble sampler",
+                  file=sys.stderr)
+            return 2
+        if args.shard:
+            print("--sampler hmc does not support --shard yet (chains are "
+                  "single-device; the ensemble sampler shards)",
+                  file=sys.stderr)
+            return 2
     ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
 
@@ -200,6 +219,75 @@ def _fit(args):
         _notify_done(args, cfg, outdir)
         return 0
 
+    if args.sampler == "hmc":
+        # gradient-based path: no reference counterpart (emcee-only); the
+        # IFT-differentiable posterior makes it possible here.  n_burn
+        # doubles as the adaptive warmup length (step size + diagonal
+        # metric); double_burnin/scatter_2 do not apply.
+        from .sampling.hmc import HMCState, init_hmc, run_hmc, warmup_hmc
+
+        resume_from = None
+        if args.resume:
+            from .utils.checkpoints import latest_checkpoint
+            resume_from = latest_checkpoint(outdir)
+        if resume_from:
+            state, _ = load_checkpoint(resume_from)
+            if not isinstance(state, HMCState):
+                print(f"{resume_from} is not an HMC checkpoint; refusing "
+                      "to resume across sampler kinds", file=sys.stderr)
+                return 2
+            print(f"resumed from {resume_from} at step {int(state.step)}")
+        else:
+            state = init_hmc(jax.random.PRNGKey(args.seed), start, scatter,
+                             ln_prob, n_walkers)
+            t_w = time.time()
+            state = warmup_hmc(state, ln_prob, n_burn,
+                               n_leapfrog=args.hmc_leapfrog)
+            log("warmup", n_burn, 0.0)
+            if not args.quiet:
+                print(f"warmup {time.time() - t_w:.1f}s: step_size="
+                      f"{float(state.step_size):.3e}")
+
+        t0 = time.time()
+        writer = ChainWriter(outdir / "chain_prod.txt", model.var_names(),
+                             append=bool(resume_from))
+        ckpt_every = max(args.checkpoint_every, 1)
+        done = int(state.step)
+        all_chain, all_lp = [], []
+        while done < n_prod:
+            n = min(ckpt_every, n_prod - done)
+            state, chain, chain_lp, acc, div = run_hmc(
+                state, ln_prob, n, n_leapfrog=args.hmc_leapfrog, thin=thin,
+                chunk_size=chunk,
+                progress=lambda s, a: log("prod", done + s, a))
+            writer.append(chain, chain_lp)
+            all_chain.append(chain)
+            all_lp.append(chain_lp)
+            done += n
+            if float(np.mean(div)) > 0.02 and not args.quiet:
+                print(f"warning: {100 * float(np.mean(div)):.1f}% "
+                      "divergent trajectories; results may be biased",
+                      file=sys.stderr)
+            save_checkpoint(outdir / f"checkpoint_{done:07d}.npz", state,
+                            {"input": str(args.input), "stage": "prod",
+                             "kind": "hmc"})
+        writer.close()
+        if resume_from:
+            from .utils.chains import read_chain
+            chain, lp, _ = read_chain(outdir / "chain_prod.txt")
+        else:
+            chain = np.concatenate(all_chain) if all_chain else np.empty(
+                (0, n_walkers, model.n_var))
+            lp = np.concatenate(all_lp) if all_lp else np.empty(
+                (0, n_walkers))
+        dt = time.time() - t0
+        n_grad_evals = n_prod * n_walkers * args.hmc_leapfrog
+        print(f"HMC total {dt:.1f}s, ~{n_grad_evals / max(dt, 1e-9):.0f} "
+              "gradient evals/s")
+        _report(model, chain, lp, outdir, args)
+        _notify_done(args, cfg, outdir)
+        return 0
+
     resume_from = None
     if args.resume:
         from .utils.checkpoints import latest_checkpoint
@@ -209,9 +297,9 @@ def _fit(args):
         from .sampling.ensemble import EnsembleState
         state, meta = load_checkpoint(resume_from)
         if not isinstance(state, EnsembleState):
-            print(f"{resume_from} is a parallel-tempered checkpoint but "
-                  "this input does not set usePT; refusing to resume "
-                  "across sampler kinds", file=sys.stderr)
+            print(f"{resume_from} is not an ensemble checkpoint (PT or "
+                  "HMC run?); refusing to resume across sampler kinds",
+                  file=sys.stderr)
             return 2
         print(f"resumed from {resume_from} at step {int(state.step)}")
     else:
@@ -300,11 +388,12 @@ def _report(model, chain, lp, outdir, args):
     reporting, SURVEY.md §3.1 tail)."""
     import json as _json
 
-    from .utils.chains import gelman_rubin, summarize
+    from .utils.chains import gelman_rubin, save_arviz, summarize
     from .utils.plotting import corner_plot, plot_eclipse
 
     if not len(chain):
         return
+    save_arviz(chain, model.var_names(), outdir / "chains", log_prob=lp)
     table = summarize(chain, model.var_names(), discard=len(chain) // 4)
     with (outdir / "params.json").open("w") as fh:
         _json.dump(table, fh, indent=1)
@@ -369,6 +458,13 @@ def main(argv=None):
     fit.add_argument("--nburn", type=int, default=None,
                      help="override input-file nburn")
     fit.add_argument("--nprod", type=int, default=None)
+    fit.add_argument("--sampler", choices=("ensemble", "hmc"),
+                     default="ensemble",
+                     help="ensemble = affine-invariant stretch move "
+                     "(reference-equivalent); hmc = gradient-based HMC "
+                     "with adaptive warmup (no reference counterpart)")
+    fit.add_argument("--hmc-leapfrog", type=int, default=16,
+                     help="leapfrog steps per HMC trajectory")
     fit.add_argument("--x64", action="store_true",
                      help="float64 evaluation (CPU oracle mode)")
     fit.add_argument("--precise", action="store_true",

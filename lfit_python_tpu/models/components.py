@@ -121,32 +121,67 @@ def wd_visible_fraction(q, incl_deg, phase, rwd, ulimb, xl1_val, phi_l1):
     g_perp = grad - jnp.dot(grad, e) * e
     g_norm = jnp.maximum(jnp.linalg.norm(g_perp), 1e-12)
     d = clear / g_norm                      # signed sky distance to the edge
+    # certain-occultation guard via the inscribed sphere (see wd_flux:
+    # the linearisation breaks when the ray dives near the donor-centre
+    # singularity on near-edge-on mid-eclipse phases)
+    from ..roche.geometry import inscribed_radius
+    r_ins = inscribed_radius(q, xl1_val, phi_l1)
+    tstar = e[0]                            # (donor centre - origin) . e
+    miss = jnp.sqrt(jnp.maximum(1.0 - tstar * tstar, 0.0))
+    certain_occ = (tstar > 0.0) & (miss < r_ins - rwd)
     # Far from the shadow (incl. the "ray misses the donor sphere" branch,
     # where the gradient is evaluated at a meaningless point — possibly the
     # singular origin itself) the WD is trivially fully visible. 0.25 in
     # potential units is >> any r_wd * |grad|, so this never clips a real
     # partial phase.
-    x = jnp.where(clear > 0.25, 1.0, jnp.clip(d / rwd, -1.0, 1.0))
+    x = jnp.where(clear > 0.25, 1.0,
+                  jnp.where(certain_occ, -1.0,
+                            jnp.clip(d / rwd, -1.0, 1.0)))
     return _edge_visible_fraction(x, ulimb)
 
 
-def wd_flux(q, incl_deg, phases, rwd, ulimb, xl1_val, phi_l1, precise=None):
+def wd_flux(q, incl_deg, phases, rwd, ulimb, xl1_val, phi_l1, precise=None,
+            r_ins=None):
     """Normalised WD light curve over ``phases`` (out of eclipse == 1).
 
     Uses the componentwise batched shadow-distance path (fast on TPU);
     :func:`wd_visible_fraction` is the scalar oracle for it.  ``precise``:
     optional f64-solved (q, incl, xl1, pl1) for the mixed-precision
     shadow-distance refinement (see ``origin_shadow_distance``).
+
+    ``r_ins``: optional precomputed ``inscribed_radius`` — the
+    certain-occultation guard (see below; computed here when absent).
     """
     d, clear = origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
                                       precise=precise)
+    # Certain-occultation guard.  The linearisation d = clear/|grad_perp|
+    # is only meaningful near the terminator: for near-edge-on systems
+    # the mid-eclipse ray passes close to the DONOR CENTRE, the potential
+    # minimum dives toward the r2 -> 0 singularity and d ~ -r2 can shrink
+    # below rwd, falsely reporting a partially visible WD at mid-eclipse.
+    # If the ray penetrates the inscribed sphere (radius r_ins, strictly
+    # inside the lobe) with margin > rwd, the whole WD disc is certainly
+    # occulted: perturbing the ray's origin by delta in the sky plane
+    # changes its miss distance by at most delta, so the sky distance to
+    # the lobe terminator is <= -(r_ins - miss) <= -rwd.
+    if r_ins is None:
+        from ..roche.geometry import inscribed_radius
+        r_ins = inscribed_radius(q, xl1_val, phi_l1)
+    dtype = jnp.result_type(phases, float)
+    th = 2.0 * jnp.pi * jnp.asarray(phases, dtype)
+    si = jnp.sin(jnp.deg2rad(jnp.asarray(incl_deg, dtype)))
+    tstar = si * jnp.cos(th)                 # e . (donor centre - origin)
+    miss = jnp.sqrt(jnp.maximum(1.0 - tstar * tstar, 0.0))
+    certain_occ = (tstar > 0.0) & (miss < r_ins - rwd)
     if precise is not None:
         # finish in f64: the edge fraction's arccos is ill-conditioned at
         # the contact points (derivative -> inf at |x| = 1), where f32
         # rounding of x alone costs ~1e-5 of flux
         rwd = jnp.asarray(rwd, d.dtype)
         ulimb = jnp.asarray(ulimb, d.dtype)
-    x = jnp.where(clear > 0.25, 1.0, jnp.clip(d / rwd, -1.0, 1.0))
+    x = jnp.where(clear > 0.25, 1.0,
+                  jnp.where(certain_occ, -1.0,
+                            jnp.clip(d / rwd, -1.0, 1.0)))
     frac = _edge_visible_fraction(x, ulimb)
     return frac.astype(jnp.result_type(phases)) if precise is not None \
         else frac
@@ -288,14 +323,21 @@ def element_intervals(q, incl_deg, positions, xl1_val, phi_l1,
     re-evaluation (grids are built in f64 under the precise mode).
     Returns (phi_in (N,), phi_out (N,), eclipsed (N,) bool).
     """
+    # one per-walker scalar solve hoisted out of the element vmap: the
+    # inscribed-sphere radius bounding the contact bracket from the
+    # eclipsed side (contact_interval would otherwise recompute it per
+    # element)
+    from ..roche.geometry import inscribed_radius
+    r_ins = inscribed_radius(q, xl1_val, phi_l1)
     if positions64 is None:
         return jax.vmap(
             lambda p: contact_interval(q, incl_deg, p, xl1_val, phi_l1,
-                                       precise=precise)
+                                       precise=precise, r_ins=r_ins)
         )(positions)
     return jax.vmap(
         lambda p, p64: contact_interval(q, incl_deg, p, xl1_val, phi_l1,
-                                        precise=precise, p64=p64)
+                                        precise=precise, p64=p64,
+                                        r_ins=r_ins)
     )(positions, positions64)
 
 
@@ -362,6 +404,14 @@ def donor_grid(q, xl1_val, phi_l1, n_lat=16, n_lon=24, dtype=jnp.float64):
         return (-(1.0 - mu) * i1 - mu / r
                 - 0.5 * (cx * cx + cy * cy)) - phi_l1
 
+    def lobe_fp(r):
+        # dF/dr along the direction (same closed form as the IFT slope)
+        i1 = jax.lax.rsqrt(1.0 + 2.0 * r * dx + r * r)
+        cx = 1.0 + r * dx - mu
+        cy = r * dy
+        return ((1.0 - mu) * (r + dx) * i1 * i1 * i1 + mu / (r * r)
+                - (cx * dx + cy * dy))
+
     lo = jnp.full_like(dx, 1e-6) * rmax
     hi = jnp.full_like(dx, rmax)
 
@@ -373,11 +423,35 @@ def donor_grid(q, xl1_val, phi_l1, n_lat=16, n_lon=24, dtype=jnp.float64):
         hi = jnp.where(inside, hi, mid)
         return lo, hi
 
-    # bisection to machine precision of the working dtype (f32 saturates
-    # at ~2^-30 of the bracket; extra iterations are pure waste on TPU)
-    n_iter = 54 if jnp.finfo(dtype).bits >= 64 else 30
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    r = 0.5 * (lo + hi)
+    if jnp.finfo(dtype).bits >= 64:
+        # f64 oracle path: bisection to machine precision
+        lo, hi = jax.lax.fori_loop(0, 54, body, (lo, hi))
+        r = 0.5 * (lo + hi)
+    else:
+        # f32 hot path (round 3): 8 bisections localise the Newton basin,
+        # 4 safeguarded Newton steps finish.  12 potential evals instead
+        # of 30 for the same accuracy — measured worst-case 2.0e-6
+        # relative radius over q in [0.03, 3.5] vs a brentq f64 oracle
+        # (the 30-iteration bisection itself sits at the same ~1e-6 f32
+        # noise floor of the potential residual).  The bracket safeguard
+        # must use STRICT inequalities: at convergence the Newton step
+        # underflows to zero and rn == r == lo, which a `<=` test would
+        # misread as out-of-bracket and reset to the loose midpoint.
+        lo, hi = jax.lax.fori_loop(0, 8, body, (lo, hi))
+        r = 0.5 * (lo + hi)
+
+        def nbody(_, carry):
+            r, lo, hi = carry
+            fr = lobe_f(r)
+            inside = fr < 0.0
+            lo = jnp.where(inside, r, lo)
+            hi = jnp.where(inside, hi, r)
+            rn = r - fr / jnp.maximum(lobe_fp(r), 1e-12)
+            bad = (rn < lo) | (rn > hi)
+            r = jnp.where(bad, 0.5 * (lo + hi), rn)
+            return r, lo, hi
+
+        r, lo, hi = jax.lax.fori_loop(0, 4, nbody, (r, lo, hi))
     # IFT tangent (zero primal change; roche.geometry.implicit_tangent):
     # F(r) = Phi(c2 + r d) - Phi_L1, F_r along the direction in closed form
     from ..roche.geometry import implicit_tangent

@@ -37,12 +37,12 @@ __all__ = ["element_intervals_pallas", "contacts_op", "LANE"]
 LANE = 1024          # elements per row (padded); 8 x (8, 128) vregs
 _W_BLOCK = 8         # walkers per program (sublane dimension)
 
-_EDGE_ITERS = 12
+_EDGE_ITERS = 8          # kept in lockstep with geometry._EDGE_ITERS
 _T_NEWTON = 3
 _CLEAR_VISIBLE = 10.0
 
 
-def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref,
+def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
             pin_ref, pout_ref, ecl_ref):
     # per-walker scalars, broadcast down the lane axis
     mu = scal_ref[:, 0:1]
@@ -55,6 +55,7 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref,
     py = py_ref[...]
     phi_c = phic_ref[...]
     dphi_s = dphis_ref[...]
+    dphi_i = dphii_ref[...]
 
     wx = 1.0 - px
     wy = -py
@@ -125,9 +126,11 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref,
     eclipsed = c_mid < 0.0
 
     def edge(sign):
-        lo = phi_c
+        # two-sided sphere bracket (round 3): inscribed-sphere hit =
+        # certified eclipsed end, enclosing-sphere miss = visible end
+        lo = phi_c + sign * dphi_i
         hi = phi_c + sign * dphi_s
-        phi0 = phi_c + sign * 0.65 * dphi_s
+        phi0 = 0.5 * (lo + hi)
 
         def body(_, carry):
             phi, lo, hi, phi_best, c_best = carry
@@ -201,16 +204,25 @@ def element_intervals_pallas(q, incl_deg, positions, xl1_val, phi_l1,
         scal = scal.at[W:, 3].set(0.4)
 
     # inverse-trig setup outside the kernel (XLA): conjunction phase and
-    # the enclosing-sphere eclipse half-angle
+    # the two-sided sphere-bracket half-angles (enclosing sphere ->
+    # certain-visible end; inscribed sphere -> certain-eclipsed end,
+    # mirroring geometry.contact_interval's round-3 bracket)
+    from ..roche.geometry import inscribed_radius
+
+    r_ins = jax.vmap(inscribed_radius)(q, x1, pl1)
+    r_ins = jnp.concatenate(
+        [r_ins, jnp.zeros((Wp - W,), f32)])[:, None]
     wx = 1.0 - px
     wy = -py
     ww = wx * wx + wy * wy
     phi_c = jnp.arctan2(py, wx) / (2.0 * jnp.pi)
     si_b = scal[:, 1:2]
     rad_b = scal[:, 3:4]
-    c_eff = jnp.sqrt(jnp.maximum(ww - rad_b * rad_b, 0.0)) / jnp.maximum(
-        si_b * jnp.sqrt(ww), 1e-12)
+    inv_den = 1.0 / jnp.maximum(si_b * jnp.sqrt(ww), 1e-12)
+    c_eff = jnp.sqrt(jnp.maximum(ww - rad_b * rad_b, 0.0)) * inv_den
     dphi_s = jnp.arccos(jnp.clip(c_eff, -1.0, 1.0)) / (2.0 * jnp.pi)
+    c_ins = jnp.sqrt(jnp.maximum(ww - r_ins * r_ins, 0.0)) * inv_den
+    dphi_i = jnp.arccos(jnp.clip(c_ins, -1.0, 1.0)) / (2.0 * jnp.pi)
 
     grid = (Wp // _W_BLOCK,)
     row_spec = pl.BlockSpec((_W_BLOCK, LANE), lambda w: (w, 0))
@@ -224,11 +236,11 @@ def element_intervals_pallas(q, incl_deg, positions, xl1_val, phi_l1,
         pin, pout, ecl = pl.pallas_call(
             _kernel,
             grid=grid,
-            in_specs=[scal_spec, row_spec, row_spec, row_spec, row_spec],
+            in_specs=[scal_spec] + [row_spec] * 5,
             out_specs=[row_spec] * 3,
             out_shape=out_shape,
             interpret=interpret,
-        )(scal, px, py, phi_c, dphi_s)
+        )(scal, px, py, phi_c, dphi_s, dphi_i)
     return (pin[:W, :N], pout[:W, :N], ecl[:W, :N] > 0.5)
 
 

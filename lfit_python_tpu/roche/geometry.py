@@ -492,13 +492,18 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
     return clear / g_norm, clear
 
 
-_EDGE_ITERS = 12         # safeguarded envelope-Newton iterations per edge
+# 8 safeguarded envelope-Newton iterations per edge: with the two-sided
+# inscribed/enclosing-sphere bracket (round 3) the Newton basin is
+# reached immediately — measured vs a 24-iteration f64 oracle over
+# q in [0.05, 1.05] x incl in [80, 89.5] x 200-element clouds, 8 iters
+# give f32 max error 7e-7 cycles (identical to 12) and f64 max 1.3e-15
+_EDGE_ITERS = 8
 _EDGE_T_NEWTON = 3       # clamped Newton steps for the ray minimum
 # mixed-precision split: the first iterations run entirely in f32; the
 # last _EDGE_ITERS_F64 re-evaluate the decision quantity c in f64 (f64 is
 # ~30x f32 on TPU via emulation, so the budget is spent only where the
 # f32 cancellation noise in c actually limits accuracy: near the root)
-_EDGE_ITERS_F32 = 8
+_EDGE_ITERS_F32 = 5
 _EDGE_ITERS_F64 = 4
 
 
@@ -517,8 +522,26 @@ def _grad_potential(q, r):
     return jnp.stack([gx, gy, gz], axis=-1)
 
 
+def inscribed_radius(q, xl1_val=None, phi_l1=None):
+    """Radius of a sphere centred on the donor that is CERTAINLY inside
+    its Roche lobe: 0.995 x the polar lobe radius.
+
+    The lobe's minimum radius over all directions sits within ~7e-4
+    (relative, measured over q in [0.03, 3]) of the polar radius, a few
+    degrees off-pole toward the companion — the 0.5% margin certifies
+    containment with ~7x headroom.  Used by :func:`contact_interval` as
+    the certain-ECLIPSED analytic bracket endpoint (a ray that hits this
+    sphere is strictly inside the lobe); the enclosing sphere of radius
+    1 - xl1 provides the certain-visible endpoint.  One cheap per-walker
+    scalar solve — hoist it out of per-element vmaps.
+    """
+    dtype = jnp.result_type(q)
+    pole = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    return 0.995 * lobe_radius(q, pole, xl1_val, phi_l1)
+
+
 def contact_interval(q, incl_deg, p, xl1_val, phi_l1, precise=None,
-                     p64=None):
+                     p64=None, r_ins=None):
     """Eclipse interval (phi_in, phi_out) of an orbital-plane point ``p``.
 
     Differentiable (default mode): the contact phases carry
@@ -528,22 +551,28 @@ def contact_interval(q, incl_deg, p, xl1_val, phi_l1, precise=None,
     (mixed-precision) path is NOT differentiable (its purpose is parity,
     not HMC; differentiate the default f32/f64 path instead).
 
+    ``r_ins``: optional precomputed :func:`inscribed_radius` (per-walker
+    scalar; batch callers hoist it out of their element vmap — computed
+    here when absent).
+
     See :func:`_contact_interval_impl` for the solver itself.
     """
+    if r_ins is None:
+        r_ins = inscribed_radius(q, xl1_val, phi_l1)
     if precise is not None:
         return _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1,
-                                      precise, p64)
-    return _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1)
+                                      r_ins, precise, p64)
+    return _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1, r_ins)
 
 
 @jax.custom_jvp
-def _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1):
-    return _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1,
+def _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1, r_ins):
+    return _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
                                   None, None)
 
 
-def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, precise=None,
-                           p64=None):
+def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
+                           precise=None, p64=None):
     """Eclipse interval (phi_in, phi_out) of an orbital-plane point ``p``.
 
     ``precise``: optional f64-*solved* (q, incl, xl1, pl1) scalars — the
@@ -708,14 +737,24 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, precise=None,
     _, c_mid, _ = t_minimum(ex_c, ey_c)
     eclipsed = c_mid < 0.0
 
-    # analytic enclosing-sphere eclipse half-angle: the ray from p misses
-    # the donor sphere entirely once cos(theta + alpha) < C_eff, i.e. for
-    # |phi - phi_c| > theta_max / 2 pi — a free, certain-visible bracket
-    # endpoint for each edge (the lobe is inside the sphere)
-    c_eff = jnp.sqrt(jnp.maximum(ww - rad * rad, 0.0)) / jnp.maximum(
-        si * jnp.sqrt(ww), 1e-12)
+    # two-sided analytic bracket from concentric spheres (round-3
+    # tightening).  Enclosing sphere (radius 1 - xl1 >= every lobe
+    # radius): the ray misses it — certainly VISIBLE — for
+    # |phi - phi_c| > theta(rad) / 2 pi.  Inscribed sphere
+    # (r_ins <= every lobe radius): the ray still hits it — certainly
+    # ECLIPSED (strictly inside the lobe) — for
+    # |phi - phi_c| < theta(r_ins) / 2 pi.  Both from the same closed
+    # form cos(theta(r)) = sqrt(ww - r^2) / (sin i sqrt(ww)); the lobe
+    # contact is pinned between them, so the envelope Newton starts
+    # inside a bracket a few times tighter than [conjunction, sphere
+    # miss] and needs fewer safeguarded iterations.
+    inv_den = 1.0 / jnp.maximum(si * jnp.sqrt(ww), 1e-12)
+    c_eff = jnp.sqrt(jnp.maximum(ww - rad * rad, 0.0)) * inv_den
     theta_max = jnp.arccos(jnp.clip(c_eff, -1.0, 1.0))
     dphi_sphere = theta_max / two_pi
+    c_ins = jnp.sqrt(jnp.maximum(ww - r_ins * r_ins, 0.0)) * inv_den
+    theta_ins = jnp.arccos(jnp.clip(c_ins, -1.0, 1.0))
+    dphi_ins = theta_ins / two_pi
 
     def dc_dphi(t, phi, ex, ey):
         """Envelope derivative: grad(Phi) . t de/dphi, with
@@ -732,12 +771,13 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, precise=None,
         return t * two_pi * (gx * ey - gy * ex)
 
     def edge(sign):
-        """Safeguarded envelope Newton for c(phi) = 0 on the sphere-
-        bracketed interval [phi_c, phi_c + sign * dphi_sphere]."""
-        lo = phi_c                             # eclipsed end
+        """Safeguarded envelope Newton for c(phi) = 0 on the two-sided
+        sphere bracket [phi_c + sign dphi_ins, phi_c + sign dphi_sphere]
+        (inscribed-sphere hit = eclipsed end, enclosing-sphere miss =
+        visible end)."""
+        lo = phi_c + sign * dphi_ins           # eclipsed end (certified)
         hi = phi_c + sign * dphi_sphere        # visible end (sphere miss)
-        # the lobe contact sits somewhat inside the sphere contact
-        phi0 = phi_c + sign * 0.65 * dphi_sphere
+        phi0 = 0.5 * (lo + hi)
 
         def make_body(use_f64):
             def body(_, carry):
@@ -912,9 +952,12 @@ def _contact_interval_jvp(primals, tangents):
     """
     import numpy as _np
 
-    q, incl_deg, p, xl1_val, phi_l1 = primals
-    qd, inld, pd, xvd, pld = tangents
-    out = _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1)
+    # r_ins only shapes the BRACKET, never the root: the contact phase is
+    # independent of it, so its tangent is correctly discarded (the
+    # residual c(phi; theta) below does not involve r_ins)
+    q, incl_deg, p, xl1_val, phi_l1, r_ins = primals
+    qd, inld, pd, xvd, pld, _ = tangents
+    out = _contact_interval_diff(q, incl_deg, p, xl1_val, phi_l1, r_ins)
     phi_in, phi_out, eclipsed = out
 
     px, py = p[0], p[1]

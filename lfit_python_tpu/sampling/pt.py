@@ -23,7 +23,6 @@ incremental chain writing / metrics, and a checkpointable state
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -174,6 +173,12 @@ def pt_step(state: PTState, ln_prior_fn, ln_like_fn, a=2.0,
     return new_state, n_acc / (T * W)
 
 
+def _extract_cold(s):
+    """Kept-sample extractor for run_chunked: the beta = 1 cold rung's
+    positions and ln posterior."""
+    return s.positions[0], s.ln_prior[0] + s.ln_like[0]
+
+
 def run_pt(state: PTState, ln_prior_fn, ln_like_fn, n_steps, a=2.0,
            thin=1, chunk_size=32,
            progress: Optional[Callable[[int, float], None]] = None,
@@ -183,44 +188,26 @@ def run_pt(state: PTState, ln_prior_fn, ln_like_fn, n_steps, a=2.0,
 
     Only the beta = 1 (cold) rung is returned as samples — the hotter
     rungs exist to help mode-hopping, exactly as in the reference's PT
-    use [R].  Chunked like the untempered ``run_sampler``: after each
-    device-resident chunk the thinned cold chain is copied to host and
+    use [R].  Chunked with ON-DEVICE thinning like the untempered
+    ``run_sampler`` (see ensemble.run_chunked); after each
+    device-resident chunk the kept cold chain is copied to host and
     ``progress(done, accept)`` fires (wired to incremental chain writing
     and metrics by the CLI).
     """
-    chunks = [chunk_size] * (n_steps // chunk_size)
-    if n_steps % chunk_size:
-        chunks.append(n_steps % chunk_size)
+    from .ensemble import _STEP_CACHE, run_chunked
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run_chunk(st, n):
-        def body(s, _):
-            s2, acc = pt_step(s, ln_prior_fn, ln_like_fn, a,
-                              batch_parts_fn=batch_parts_fn)
-            return s2, (s2.positions[0], s2.ln_prior[0] + s2.ln_like[0],
-                        acc)
-        return jax.lax.scan(body, st, None, length=n)
+    key = ("pt", ln_prior_fn, ln_like_fn, float(a), batch_parts_fn)
+    step_fn = _STEP_CACHE.get(key)
+    if step_fn is None:
+        def step_fn(s):
+            return pt_step(s, ln_prior_fn, ln_like_fn, a,
+                           batch_parts_fn=batch_parts_fn)
 
-    kept_pos, kept_lp, accs = [], [], []
-    # global-step-anchored thin phase (see ensemble.run_sampler): regular
-    # kept-sample spacing across checkpoint segments
-    phase0 = int(state.step)
-    done = 0
-    for n in chunks:
-        state, (cpos, clp, cacc) = run_chunk(state, n)
-        idx = [k for k in range(n) if (phase0 + done + k + 1) % thin == 0]
-        if idx:
-            sel = np.asarray(idx)
-            kept_pos.append(np.asarray(cpos)[sel])
-            kept_lp.append(np.asarray(clp)[sel])
-        accs.append(np.asarray(cacc))
-        done += n
-        if progress is not None:
-            progress(done, float(np.mean(accs[-1])))
+        _STEP_CACHE[key] = step_fn
 
-    W, Dd = state.positions.shape[1], state.positions.shape[2]
-    chain = (np.concatenate(kept_pos) if kept_pos
-             else np.empty((0, W, Dd)))
-    chain_lp = (np.concatenate(kept_lp) if kept_lp
-                else np.empty((0, W)))
-    return state, chain, chain_lp, np.concatenate(accs)
+    state, chain, chain_lp, acc = run_chunked(
+        state, step_fn, n_steps, thin=thin, chunk_size=chunk_size,
+        progress=progress, extract=_extract_cold)
+    if acc is None:
+        acc = np.empty((0,))
+    return state, chain, chain_lp, acc

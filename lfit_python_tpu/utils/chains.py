@@ -22,6 +22,7 @@ __all__ = [
     "gelman_rubin",
     "autocorr_time",
     "rebin",
+    "save_arviz",
     "to_arviz",
     "summarize",
 ]
@@ -192,6 +193,25 @@ def to_arviz(chain, param_names, log_prob=None):
         return arviz.from_dict(posterior=data)
     except Exception:
         return data
+
+
+def save_arviz(chain, param_names, path, log_prob=None):
+    """Persist the chain in ArviZ form: ``<path>.nc`` (netCDF via
+    ``InferenceData.to_netcdf``) when arviz is importable, else
+    ``<path>.npz`` holding the same named (walker, draw) arrays — either
+    way a machine-readable per-parameter chain (SURVEY.md §5.5; VERDICT
+    round-2 item 9).  Returns the written Path."""
+    from pathlib import Path
+
+    out = to_arviz(chain, param_names, log_prob)
+    path = Path(path)
+    if isinstance(out, dict):               # arviz absent: npz fallback
+        path = path.with_suffix(".npz")
+        np.savez_compressed(path, **out)
+    else:
+        path = path.with_suffix(".nc")
+        out.to_netcdf(str(path))
+    return path
 
 
 def summarize(chain, param_names, discard=0, percentiles=(16, 50, 84)):

@@ -7,9 +7,10 @@ kill, so exact resume is impossible [R].  Here the full sampler state
 steps and a resumed run is *bitwise identical* to an uninterrupted one
 (the PRNG key is the entire stochastic state of the on-device sampler).
 
-Handles both the untempered :class:`~..sampling.ensemble.EnsembleState`
-and the parallel-tempered :class:`~..sampling.pt.PTState` (VERDICT
-round-1 item 7: PT at feature parity).
+Handles the untempered :class:`~..sampling.ensemble.EnsembleState`, the
+parallel-tempered :class:`~..sampling.pt.PTState` (VERDICT round-1 item
+7: PT at feature parity), and the gradient-based
+:class:`~..sampling.hmc.HMCState`.
 """
 
 from __future__ import annotations
@@ -27,9 +28,11 @@ _FMT_VERSION = 2
 
 
 def save_checkpoint(path, state, meta: dict | None = None):
-    """Atomic checkpoint write (tmp + rename); EnsembleState or PTState."""
+    """Atomic checkpoint write (tmp + rename); EnsembleState, PTState or
+    HMCState."""
     import jax
 
+    from ..sampling.hmc import HMCState
     from ..sampling.pt import PTState
 
     path = Path(path)
@@ -38,8 +41,7 @@ def save_checkpoint(path, state, meta: dict | None = None):
         "key": np.asarray(jax.random.key_data(state.key)),
         "positions": np.asarray(state.positions),
         "log_prob": np.asarray(
-            state.log_prob if isinstance(state, EnsembleState)
-            else state.ln_like),
+            state.ln_like if isinstance(state, PTState) else state.log_prob),
         "step": np.asarray(state.step),
     }
     kind = "ensemble"
@@ -47,6 +49,11 @@ def save_checkpoint(path, state, meta: dict | None = None):
         kind = "pt"
         fields["ln_prior"] = np.asarray(state.ln_prior)
         fields["betas"] = np.asarray(state.betas)
+    elif isinstance(state, HMCState):
+        kind = "hmc"
+        fields["grad"] = np.asarray(state.grad)
+        fields["step_size"] = np.asarray(state.step_size)
+        fields["inv_mass"] = np.asarray(state.inv_mass)
     np.savez(
         tmp,
         version=_FMT_VERSION,
@@ -61,10 +68,11 @@ def save_checkpoint(path, state, meta: dict | None = None):
 
 
 def load_checkpoint(path):
-    """Load a checkpoint -> (EnsembleState | PTState, meta)."""
+    """Load a checkpoint -> (EnsembleState | PTState | HMCState, meta)."""
     import jax
     import jax.numpy as jnp
 
+    from ..sampling.hmc import HMCState
     from ..sampling.pt import PTState
 
     with np.load(Path(path), allow_pickle=False) as z:
@@ -80,6 +88,16 @@ def load_checkpoint(path):
                 ln_like=jnp.asarray(z["log_prob"]),
                 ln_prior=jnp.asarray(z["ln_prior"]),
                 betas=jnp.asarray(z["betas"]),
+                step=jnp.asarray(z["step"]),
+            )
+        elif kind == "hmc":
+            state = HMCState(
+                key=key,
+                positions=jnp.asarray(z["positions"]),
+                log_prob=jnp.asarray(z["log_prob"]),
+                grad=jnp.asarray(z["grad"]),
+                step_size=jnp.asarray(z["step_size"]),
+                inv_mass=jnp.asarray(z["inv_mass"]),
                 step=jnp.asarray(z["step"]),
             )
         else:

@@ -109,6 +109,62 @@ class TestFitCLI:
         assert rc == 2
 
 
+class TestHMCCLI:
+    def test_hmc_fit_runs(self, fit_dir):
+        """--sampler hmc: gradient-based fit end-to-end (warmup + prod +
+        chain + checkpoints). No reference counterpart — the capability
+        the differentiable posterior adds."""
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out_hmc"
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet", "--sampler", "hmc",
+                   "--hmc-leapfrog", "4", "--nburn", "10", "--nprod", "8",
+                   "--no-plots", "--resolution", "low",
+                   "--checkpoint-every", "4"])
+        assert rc == 0
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, names = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (8, 32, 13)
+        assert np.isfinite(lnp).all()
+        assert (out / "checkpoint_0000008.npz").exists()
+        # checkpoint carries the adapted HMC state
+        from lfit_python_tpu.sampling.hmc import HMCState
+        from lfit_python_tpu.utils.checkpoints import load_checkpoint
+        state, _ = load_checkpoint(out / "checkpoint_0000008.npz")
+        assert isinstance(state, HMCState)
+        assert float(state.step_size) > 0.0
+        assert state.inv_mass.shape == (13,)
+
+    def test_hmc_resume_kind_guard(self, fit_dir):
+        import jax
+        import jax.numpy as jnp
+
+        from lfit_python_tpu.cli import main
+        from lfit_python_tpu.sampling.ensemble import init_walkers
+        from lfit_python_tpu.utils.checkpoints import save_checkpoint
+
+        # a fresh outdir holding an ENSEMBLE checkpoint: --sampler hmc
+        # must refuse to resume across sampler kinds
+        out = fit_dir / "out_kind_mismatch"
+        out.mkdir(exist_ok=True)
+        state = init_walkers(jax.random.PRNGKey(0), jnp.zeros(2),
+                             jnp.ones(2), lambda x: -jnp.sum(x * x), 8)
+        save_checkpoint(out / "checkpoint_0000004.npz", state)
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet", "--sampler", "hmc",
+                   "--resume", "--resolution", "low", "--no-plots"])
+        assert rc == 2
+
+    def test_hmc_flag_conflicts(self, fit_dir):
+        from lfit_python_tpu.cli import main
+
+        args = ["fit", str(fit_dir / "mcmc_input.dat"), "--outdir",
+                str(fit_dir / "x"), "--sampler", "hmc", "--quiet"]
+        assert main(args + ["--precise"]) == 2
+        assert main(args + ["--shard"]) == 2
+
+
 class TestPTCLI:
     def test_pt_fit_runs(self, fit_dir):
         from lfit_python_tpu.cli import main

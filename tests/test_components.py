@@ -58,6 +58,24 @@ class TestWhiteDwarf:
         ing = y[80:100]
         assert np.all(np.diff(ing) <= 1e-12)
 
+    def test_edge_on_mid_eclipse_fully_dark(self):
+        # regression (round 3): for near-edge-on systems the mid-eclipse
+        # ray passes close to the donor CENTRE; the shadow-distance
+        # linearisation d = clear/|grad| collapses (d ~ -r2 < rwd) and,
+        # before the inscribed-sphere certain-occultation guard, reported
+        # up to 39% of the WD visible at mid-eclipse (i=89.9, q=0.05)
+        for q, incl in [(0.05, 89.9), (0.1, 89.5), (0.12, 90.0)]:
+            x1 = xl1(q)
+            pl1 = l1_potential(q, x1)
+            phases = jnp.linspace(-0.005, 0.005, 101)
+            y = np.asarray(comp.wd_flux(q, incl, phases, 0.01, 0.3,
+                                        x1, pl1))
+            np.testing.assert_allclose(y, 0.0, atol=1e-12)
+            # scalar oracle agrees
+            mid = float(comp.wd_visible_fraction(q, incl, 0.0, 0.01, 0.3,
+                                                 x1, pl1))
+            assert mid == 0.0
+
     def test_ingress_duration_scales_with_rwd(self, geom):
         # contact-to-contact duration ~ 2*rwd / sweep speed: doubling rwd
         # should roughly double the ingress duration

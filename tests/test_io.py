@@ -215,6 +215,29 @@ class TestCheckpoints:
         s_res, chain_b, _, _ = run_sampler(state2, lnp, 5)
         np.testing.assert_array_equal(chain_a, chain_b)
 
+    def test_hmc_roundtrip_bitwise(self, tmp_path):
+        from lfit_python_tpu.sampling.hmc import (
+            HMCState, init_hmc, run_hmc)
+
+        def lnp(x):
+            return -0.5 * jnp.sum(x * x)
+
+        state = init_hmc(jax.random.PRNGKey(5), jnp.zeros(2),
+                         jnp.ones(2), lnp, 8, step_size=0.3)
+        state, _, _, _, _ = run_hmc(state, lnp, 6, n_leapfrog=4)
+        p = save_checkpoint(tmp_path / "checkpoint_0000006.npz", state)
+        state2, _ = load_checkpoint(p)
+        assert isinstance(state2, HMCState)
+        np.testing.assert_array_equal(
+            np.asarray(state.grad), np.asarray(state2.grad))
+        np.testing.assert_array_equal(
+            np.asarray(state.inv_mass), np.asarray(state2.inv_mass))
+        # resumed run bitwise identical (the key + cached grad + metric is
+        # the entire stochastic state)
+        _, chain_a, _, _, _ = run_hmc(state, lnp, 4, n_leapfrog=4)
+        _, chain_b, _, _, _ = run_hmc(state2, lnp, 4, n_leapfrog=4)
+        np.testing.assert_array_equal(chain_a, chain_b)
+
     def test_latest_checkpoint(self, tmp_path):
         from lfit_python_tpu.sampling.ensemble import init_walkers
 
@@ -483,3 +506,25 @@ class TestRebinArviz:
             assert out["a"].shape == (8, 20)
         else:  # arviz available
             assert set(out.posterior.data_vars) >= {"a", "b"}
+
+    def test_save_arviz_roundtrip(self, tmp_path):
+        # netCDF when arviz is importable, .npz fallback otherwise —
+        # either way a named per-parameter chain file exists on disk
+        from lfit_python_tpu.utils.chains import save_arviz
+
+        rng = np.random.default_rng(1)
+        chain = rng.standard_normal((20, 8, 2))
+        lp = rng.standard_normal((20, 8))
+        path = save_arviz(chain, ["a", "b"], tmp_path / "chains",
+                          log_prob=lp)
+        assert path.exists()
+        if path.suffix == ".npz":
+            with np.load(path) as z:
+                assert set(z.files) == {"a", "b", "ln_prob"}
+                np.testing.assert_array_equal(z["a"], chain[:, :, 0].T)
+                np.testing.assert_array_equal(z["ln_prob"], lp.T)
+        else:
+            import arviz
+
+            idata = arviz.from_netcdf(path)
+            assert set(idata.posterior.data_vars) >= {"a", "b"}

@@ -68,6 +68,31 @@ class TestGaussianTarget:
         assert len(c1) == 2 and len(c2) == 3
         assert int(state.step) == 50
 
+    def test_on_device_thinning_bitwise(self):
+        # thin > 1 runs through the nested keep-last scan (on-device
+        # thinning, no full-rate HBM stacking); it must be BITWISE the
+        # thin=1 chain sliced, including a misaligned starting phase
+        def ln_prob(x):
+            return -0.5 * jnp.sum(x * x)
+
+        def run(thin):
+            state = init_walkers(
+                jax.random.PRNGKey(3), jnp.zeros(2), jnp.ones(2),
+                ln_prob, 16)
+            # misalign the phase: 5 prelude steps before the thinned run
+            state, _, _, _ = run_sampler(state, ln_prob, 5)
+            return run_sampler(state, ln_prob, 32, thin=thin,
+                               chunk_size=12)
+
+        state1, full, full_lp, acc1 = run(1)
+        state3, thinned, thinned_lp, acc3 = run(3)
+        # global keeps: steps 6,9,...,36 -> rows 0,3,...,30 of the full
+        np.testing.assert_array_equal(thinned, full[0::3])
+        np.testing.assert_array_equal(thinned_lp, full_lp[0::3])
+        np.testing.assert_array_equal(acc1, acc3)
+        np.testing.assert_array_equal(np.asarray(state1.positions),
+                                      np.asarray(state3.positions))
+
     def test_deterministic_given_key(self):
         def ln_prob(x):
             return -0.5 * jnp.sum(x * x)
