@@ -85,6 +85,8 @@ def _fit(args):
             print(ap_err, file=sys.stderr)
             return 2
         cvcfg = cvcfg._replace(pallas_contacts=True)
+    elif args.no_pallas:
+        cvcfg = cvcfg._replace(pallas_contacts=False)
     if args.sampler == "hmc":
         # HMC differentiates the posterior: the --precise refinement path
         # is primal-only by design and the Pallas kernel carries no JVP
@@ -104,6 +106,10 @@ def _fit(args):
                   "single-device; the ensemble sampler shards)",
                   file=sys.stderr)
             return 2
+        # the auto (None) kernel choice must not engage under jax.grad:
+        # the Mosaic kernel is primal-only, HMC uses the IFT-tangent XLA
+        # contact solver
+        cvcfg = cvcfg._replace(pallas_contacts=False)
     ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
 
@@ -472,9 +478,10 @@ def main(argv=None):
                           " geometry + near-root clearances (meets the"
                           " 1e-6 flux-parity gate, ~1.5-2x slower)")
     fit.add_argument("--pallas", action="store_true",
-                     help="use the Pallas/Mosaic contact kernel as the hot"
-                          " path (faster standalone; see ROADMAP.md for"
-                          " the remote-compile caveat on this box)")
+                     help="force the Pallas/Mosaic contact kernel ON"
+                          " (default: auto — ON on TPU, OFF elsewhere)")
+    fit.add_argument("--no-pallas", action="store_true",
+                     help="force the XLA contact solver even on TPU")
     fit.add_argument("--shard", action="store_true",
                      help="shard walkers over all visible devices")
     fit.add_argument("--resume", action="store_true",

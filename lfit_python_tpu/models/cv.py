@@ -86,15 +86,19 @@ class CVConfig(NamedTuple):
     # otherwise.
     mixed_precision: bool = False
     # Pallas/Mosaic contact kernel (ops/pallas_contacts.py) for the f32
-    # fast mode: measured 4.96 vs 7.10 ms against the XLA fusion at 1024
-    # walkers x 992 elements on v5e (tools/bench_contacts.py), and the
-    # posterior with the kernel embedded is bitwise-identical to the XLA
-    # path (tests/test_pallas.py).  OFF by default on this box: compiling
-    # the kernel EMBEDDED in the full posterior through the axon
-    # remote-compile tunnel stalled (>23 min; standalone compiles in
-    # seconds) — flip on where a local compiler is available.  Applies
-    # only when the working dtype is f32 and mixed precision is off.
-    pallas_contacts: bool = False
+    # fast mode: bitwise-identical posteriors to the XLA path
+    # (tests/test_pallas.py) and measured FASTER embedded once the kernel
+    # boundary went componentwise (round 3): 5-eclipse north-star
+    # posterior 42.6 vs 55.7 ms on v5e (the round-2 embedded slowdown was
+    # an (N, 3) operand materialising with its minor dim tile-padded
+    # 3 -> 128 in HBM at the custom-vmap boundary; it also compiles ~9x
+    # faster than the XLA fori_loop program, 13 vs 118 s cold).
+    # None = auto: ON when the backend is TPU, OFF elsewhere (the CPU
+    # fallback is interpret-mode, for tests only).  Applies only when the
+    # working dtype is f32 and mixed precision is off.  The kernel is
+    # primal-only — gradient paths (HMC) must pin this to False and use
+    # the XLA solver, whose contacts carry IFT tangents.
+    pallas_contacts: bool | None = None
 
 
 class CVFluxes(NamedTuple):
@@ -281,11 +285,18 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
             [disc_pos64, spot_pos.astype(jnp.float64)], axis=0)
     else:
         all_pos64 = None
-    if (config.pallas_contacts and geometry.precise is None
+    use_pallas = config.pallas_contacts
+    if use_pallas is None:                 # auto: TPU only
+        use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and geometry.precise is None
             and dtype == jnp.float32):
         from ..ops.pallas_contacts import contacts_op
 
-        intervals = contacts_op(q, incl, all_pos, x1, pl1)
+        # componentwise coordinates across the kernel boundary: an
+        # (N, 3) operand would materialise with its minor dim tile-padded
+        # 3 -> 128 in HBM (measured +14 ms on the 5-eclipse posterior)
+        intervals = contacts_op(q, incl, all_pos[..., 0], all_pos[..., 1],
+                                x1, pl1)
     else:
         intervals = comp.element_intervals(q, incl, all_pos, x1, pl1,
                                            precise=geometry.precise,

@@ -163,12 +163,17 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def element_intervals_pallas(q, incl_deg, positions, xl1_val, phi_l1,
+def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
                              interpret=False):
     """Batched contact intervals on the Pallas kernel.
 
     ``q, incl_deg, xl1_val, phi_l1``: (W,) per-walker scalars;
-    ``positions``: (W, N, 3) element positions (orbital plane).
+    ``px_in, py_in``: (W, N) element coordinates (orbital plane),
+    COMPONENTWISE — an (W, N, 3) positions array must never cross this
+    boundary: at a kernel/custom-vmap boundary XLA materialises its
+    operands in HBM with the minor dim tile-padded 3 -> 128 lanes (~40x
+    bloat; measured +14 ms on the 5-eclipse posterior), whereas the
+    componentwise slices fuse into clean (W, N) layouts.
     Returns (phi_in, phi_out, eclipsed) of shape (W, N).
     N is padded to LANE and W to a multiple of 8 internally.
     """
@@ -177,16 +182,16 @@ def element_intervals_pallas(q, incl_deg, positions, xl1_val, phi_l1,
     incl = jnp.asarray(incl_deg, f32)
     x1 = jnp.asarray(xl1_val, f32)
     pl1 = jnp.asarray(phi_l1, f32)
-    pos = jnp.asarray(positions, f32)
-    W, N, _ = pos.shape
+    px_in = jnp.asarray(px_in, f32)
+    py_in = jnp.asarray(py_in, f32)
+    W, N = px_in.shape
     Wp = ((W + _W_BLOCK - 1) // _W_BLOCK) * _W_BLOCK
 
-    px = jnp.zeros((Wp, LANE), f32)
-    py = jnp.zeros((Wp, LANE), f32)
     # pad slots at a harmless never-eclipsed point far behind the observer
-    px = px.at[:, :].set(2.0)
-    px = px.at[:W, :N].set(pos[..., 0])
-    py = py.at[:W, :N].set(pos[..., 1])
+    px = jnp.full((Wp, LANE), 2.0, f32)
+    py = jnp.zeros((Wp, LANE), f32)
+    px = px.at[:W, :N].set(px_in)
+    py = py.at[:W, :N].set(py_in)
 
     mu = q / (1.0 + q)
     i_rad = jnp.deg2rad(incl)
@@ -259,49 +264,56 @@ def _bcast(x, batched, axis_size):
 
 
 @jax.custom_batching.custom_vmap
-def _contacts_batched(q, incl, pos, x1, pl1):
+def _contacts_batched(q, incl, px, py, x1, pl1):
     """(W,)-batched contact intervals -> one Pallas launch."""
     interp = jax.default_backend() != "tpu"
-    return element_intervals_pallas(q, incl, pos, x1, pl1,
+    return element_intervals_pallas(q, incl, px, py, x1, pl1,
                                     interpret=interp)
 
 
 @_contacts_batched.def_vmap
-def _contacts_batched_vmap(axis_size, in_batched, q, incl, pos, x1, pl1):
+def _contacts_batched_vmap(axis_size, in_batched, q, incl, px, py, x1, pl1):
     # flatten the new leading batch dim into the walker dim and recurse:
     # arbitrarily nested vmaps collapse into a single kernel launch
     qb = _bcast(q, in_batched[0], axis_size)
     ib = _bcast(incl, in_batched[1], axis_size)
-    pb = _bcast(pos, in_batched[2], axis_size)
-    xb = _bcast(x1, in_batched[3], axis_size)
-    lb = _bcast(pl1, in_batched[4], axis_size)
-    B, W = pb.shape[0], pb.shape[1]
+    pxb = _bcast(px, in_batched[2], axis_size)
+    pyb = _bcast(py, in_batched[3], axis_size)
+    xb = _bcast(x1, in_batched[4], axis_size)
+    lb = _bcast(pl1, in_batched[5], axis_size)
+    B, W = pxb.shape[0], pxb.shape[1]
     out = _contacts_batched(
         qb.reshape(-1), ib.reshape(-1),
-        pb.reshape((-1,) + pb.shape[2:]),
+        pxb.reshape((-1,) + pxb.shape[2:]),
+        pyb.reshape((-1,) + pyb.shape[2:]),
         xb.reshape(-1), lb.reshape(-1))
     pin, pout, ecl = (o.reshape((B, W) + o.shape[1:]) for o in out)
     return (pin, pout, ecl), (True, True, True)
 
 
 @jax.custom_batching.custom_vmap
-def contacts_op(q, incl, pos, x1, pl1):
+def contacts_op(q, incl, px, py, x1, pl1):
     """Scalar-walker contact intervals with a Pallas-batched vmap rule.
 
-    Unbatched (rare: a single posterior evaluation) falls back to the XLA
-    solver; any vmap over walkers/eclipses routes to the fused kernel.
+    ``px, py``: (N,) element coordinates, componentwise (see
+    ``element_intervals_pallas`` for why no (N, 3) array may cross this
+    boundary).  Unbatched (rare: a single posterior evaluation) falls
+    back to the XLA solver; any vmap over walkers/eclipses routes to the
+    fused kernel.
     """
     from ..models.components import element_intervals
 
+    pos = jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)
     return element_intervals(q, incl, pos, x1, pl1)
 
 
 @contacts_op.def_vmap
-def _contacts_op_vmap(axis_size, in_batched, q, incl, pos, x1, pl1):
+def _contacts_op_vmap(axis_size, in_batched, q, incl, px, py, x1, pl1):
     out = _contacts_batched(
         _bcast(q, in_batched[0], axis_size),
         _bcast(incl, in_batched[1], axis_size),
-        _bcast(pos, in_batched[2], axis_size),
-        _bcast(x1, in_batched[3], axis_size),
-        _bcast(pl1, in_batched[4], axis_size))
+        _bcast(px, in_batched[2], axis_size),
+        _bcast(py, in_batched[3], axis_size),
+        _bcast(x1, in_batched[4], axis_size),
+        _bcast(pl1, in_batched[5], axis_size))
     return out, (True, True, True)

@@ -25,6 +25,11 @@ Design for the TPU/XLA model:
 - Non-finite Hamiltonians (a leapfrog step left the prior's support,
   where ln_prob = -inf) are divergences: the proposal is rejected and
   the divergence counted; positions never become NaN.
+
+Caller contract: ``ln_prob_fn`` must be differentiable — build it with
+``CVConfig(pallas_contacts=False)`` (the Mosaic contact kernel is
+primal-only; the auto default would select it on TPU).  The CLI pins
+this for ``--sampler hmc``.
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ class TestPallasContacts:
         q, incl, x1, pl1, pos = batch
         f32 = jnp.float32
         pin, pout, ecl = element_intervals_pallas(
-            q, incl, pos, x1, pl1, interpret=True)
+            q, incl, pos[..., 0], pos[..., 1], x1, pl1, interpret=True)
 
         def one_walker(k):
             return comp.element_intervals(
@@ -90,9 +90,10 @@ class TestPallasContacts:
         """Padded element slots (x = 2, behind the donor) and padded walker
         rows must not corrupt real outputs: run with N and N-7 elements."""
         q, incl, x1, pl1, pos = batch
-        full = element_intervals_pallas(q, incl, pos, x1, pl1,
-                                        interpret=True)
-        trim = element_intervals_pallas(q, incl, pos[:, :-7], x1, pl1,
+        full = element_intervals_pallas(q, incl, pos[..., 0], pos[..., 1],
+                                        x1, pl1, interpret=True)
+        trim = element_intervals_pallas(q, incl, pos[:, :-7, 0],
+                                        pos[:, :-7, 1], x1, pl1,
                                         interpret=True)
         for a, b in zip(full, trim):
             np.testing.assert_array_equal(

@@ -63,7 +63,8 @@ def main():
     posW = jnp.broadcast_to(pos[None], (W,) + pos.shape)
 
     def run_pallas(q, incl, p, x1, pl1):
-        pin, pout, ecl = element_intervals_pallas(q, incl, p, x1, pl1)
+        pin, pout, ecl = element_intervals_pallas(
+            q, incl, p[..., 0], p[..., 1], x1, pl1)
         return pin.sum() + pout.sum() + ecl.astype(dtype).sum()
 
     fnp = jax.jit(run_pallas)
