@@ -87,29 +87,27 @@ def _fit(args):
         cvcfg = cvcfg._replace(pallas_contacts=True)
     elif args.no_pallas:
         cvcfg = cvcfg._replace(pallas_contacts=False)
-    if args.sampler == "hmc":
-        # HMC differentiates the posterior: the --precise refinement path
-        # is primal-only by design and the Pallas kernel carries no JVP
-        # rule, so both are incompatible rather than silently wrong
-        if args.precise or args.pallas:
-            print("--sampler hmc is incompatible with --precise/--pallas "
-                  "(those paths are not differentiable); drop one flag",
-                  file=sys.stderr)
+    if args.sampler in ("hmc", "nuts"):
+        # gradient samplers differentiate the posterior: the --precise
+        # refinement path is primal-only by design, so it is incompatible
+        # rather than silently wrong.  The Pallas contact kernel IS
+        # differentiable (contacts_op_diff carries IFT tangents), so
+        # --pallas and the TPU auto-default both work under jax.grad.
+        if args.precise:
+            print(f"--sampler {args.sampler} is incompatible with "
+                  "--precise (that path is not differentiable); drop one "
+                  "flag", file=sys.stderr)
             return 2
         if bool(cfg.get("usePT", False)):
-            print("--sampler hmc ignores usePT (no tempered HMC ladder); "
-                  "unset usePT or use the default ensemble sampler",
-                  file=sys.stderr)
+            print(f"--sampler {args.sampler} ignores usePT (no tempered "
+                  "ladder); unset usePT or use the default ensemble "
+                  "sampler", file=sys.stderr)
             return 2
         if args.shard:
-            print("--sampler hmc does not support --shard yet (chains are "
-                  "single-device; the ensemble sampler shards)",
-                  file=sys.stderr)
+            print(f"--sampler {args.sampler} does not support --shard yet "
+                  "(chains are single-device; the ensemble sampler "
+                  "shards)", file=sys.stderr)
             return 2
-        # the auto (None) kernel choice must not engage under jax.grad:
-        # the Mosaic kernel is primal-only, HMC uses the IFT-tangent XLA
-        # contact solver
-        cvcfg = cvcfg._replace(pallas_contacts=False)
     ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
 
@@ -225,30 +223,43 @@ def _fit(args):
         _notify_done(args, cfg, outdir)
         return 0
 
-    if args.sampler == "hmc":
-        # gradient-based path: no reference counterpart (emcee-only); the
-        # IFT-differentiable posterior makes it possible here.  n_burn
+    if args.sampler in ("hmc", "nuts"):
+        # gradient-based paths: no reference counterpart (emcee-only); the
+        # IFT-differentiable posterior makes them possible here.  n_burn
         # doubles as the adaptive warmup length (step size + diagonal
         # metric); double_burnin/scatter_2 do not apply.
         from .sampling.hmc import HMCState, init_hmc, run_hmc, warmup_hmc
+        from .sampling.nuts import run_nuts, warmup_nuts
 
+        kind = args.sampler
         resume_from = None
         if args.resume:
             from .utils.checkpoints import latest_checkpoint
             resume_from = latest_checkpoint(outdir)
         if resume_from:
-            state, _ = load_checkpoint(resume_from)
+            state, meta = load_checkpoint(resume_from)
             if not isinstance(state, HMCState):
-                print(f"{resume_from} is not an HMC checkpoint; refusing "
-                      "to resume across sampler kinds", file=sys.stderr)
+                print(f"{resume_from} is not an HMC/NUTS checkpoint; "
+                      "refusing to resume across sampler kinds",
+                      file=sys.stderr)
+                return 2
+            ck_kind = (meta or {}).get("kind", kind)
+            if ck_kind != kind:
+                print(f"{resume_from} is a {ck_kind} checkpoint but "
+                      f"--sampler is {kind}; refusing to resume across "
+                      "sampler kinds", file=sys.stderr)
                 return 2
             print(f"resumed from {resume_from} at step {int(state.step)}")
         else:
             state = init_hmc(jax.random.PRNGKey(args.seed), start, scatter,
                              ln_prob, n_walkers)
             t_w = time.time()
-            state = warmup_hmc(state, ln_prob, n_burn,
-                               n_leapfrog=args.hmc_leapfrog)
+            if kind == "nuts":
+                state = warmup_nuts(state, ln_prob, n_burn,
+                                    max_depth=args.nuts_max_depth)
+            else:
+                state = warmup_hmc(state, ln_prob, n_burn,
+                                   n_leapfrog=args.hmc_leapfrog)
             log("warmup", n_burn, 0.0)
             if not args.quiet:
                 print(f"warmup {time.time() - t_w:.1f}s: step_size="
@@ -260,12 +271,20 @@ def _fit(args):
         ckpt_every = max(args.checkpoint_every, 1)
         done = int(state.step)
         all_chain, all_lp = [], []
+        depth_note = ""
         while done < n_prod:
             n = min(ckpt_every, n_prod - done)
-            state, chain, chain_lp, acc, div = run_hmc(
-                state, ln_prob, n, n_leapfrog=args.hmc_leapfrog, thin=thin,
-                chunk_size=chunk,
-                progress=lambda s, a: log("prod", done + s, a))
+            if kind == "nuts":
+                state, chain, chain_lp, acc, div, depth = run_nuts(
+                    state, ln_prob, n, max_depth=args.nuts_max_depth,
+                    thin=thin, chunk_size=chunk,
+                    progress=lambda s, a: log("prod", done + s, a))
+                depth_note = f", mean depth {float(np.mean(depth)):.1f}"
+            else:
+                state, chain, chain_lp, acc, div = run_hmc(
+                    state, ln_prob, n, n_leapfrog=args.hmc_leapfrog,
+                    thin=thin, chunk_size=chunk,
+                    progress=lambda s, a: log("prod", done + s, a))
             writer.append(chain, chain_lp)
             all_chain.append(chain)
             all_lp.append(chain_lp)
@@ -276,7 +295,7 @@ def _fit(args):
                       file=sys.stderr)
             save_checkpoint(outdir / f"checkpoint_{done:07d}.npz", state,
                             {"input": str(args.input), "stage": "prod",
-                             "kind": "hmc"})
+                             "kind": kind})
         writer.close()
         if resume_from:
             from .utils.chains import read_chain
@@ -287,9 +306,13 @@ def _fit(args):
             lp = np.concatenate(all_lp) if all_lp else np.empty(
                 (0, n_walkers))
         dt = time.time() - t0
-        n_grad_evals = n_prod * n_walkers * args.hmc_leapfrog
-        print(f"HMC total {dt:.1f}s, ~{n_grad_evals / max(dt, 1e-9):.0f} "
-              "gradient evals/s")
+        if kind == "nuts":
+            print(f"NUTS total {dt:.1f}s, {n_prod} steps x {n_walkers} "
+                  f"chains{depth_note}")
+        else:
+            n_grad_evals = n_prod * n_walkers * args.hmc_leapfrog
+            print(f"HMC total {dt:.1f}s, "
+                  f"~{n_grad_evals / max(dt, 1e-9):.0f} gradient evals/s")
         _report(model, chain, lp, outdir, args)
         _notify_done(args, cfg, outdir)
         return 0
@@ -464,13 +487,18 @@ def main(argv=None):
     fit.add_argument("--nburn", type=int, default=None,
                      help="override input-file nburn")
     fit.add_argument("--nprod", type=int, default=None)
-    fit.add_argument("--sampler", choices=("ensemble", "hmc"),
+    fit.add_argument("--sampler", choices=("ensemble", "hmc", "nuts"),
                      default="ensemble",
                      help="ensemble = affine-invariant stretch move "
                      "(reference-equivalent); hmc = gradient-based HMC "
-                     "with adaptive warmup (no reference counterpart)")
+                     "with adaptive warmup; nuts = No-U-Turn sampler "
+                     "with adaptive trajectory length (no reference "
+                     "counterpart for either)")
     fit.add_argument("--hmc-leapfrog", type=int, default=16,
                      help="leapfrog steps per HMC trajectory")
+    fit.add_argument("--nuts-max-depth", type=int, default=8,
+                     help="max tree doublings per NUTS trajectory "
+                          "(worst case 2^depth gradient evals)")
     fit.add_argument("--x64", action="store_true",
                      help="float64 evaluation (CPU oracle mode)")
     fit.add_argument("--precise", action="store_true",

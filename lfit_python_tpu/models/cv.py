@@ -129,7 +129,7 @@ class CVGeometry(NamedTuple):
 
 
 def cv_geometry(pars, config: CVConfig = CVConfig(),
-                core=None) -> CVGeometry:
+                core=None, impact=None) -> CVGeometry:
     """Solve the per-parameter-vector geometry (L1, inclination, stream).
 
     ``core``: optional precomputed (x1, pl1, incl, trajectory) tuple for
@@ -137,6 +137,11 @@ def cv_geometry(pars, config: CVConfig = CVConfig(),
     posterior hoists these out of the per-eclipse vmap since every eclipse
     shares the core node (SURVEY.md §2 "CV model nodes"); only the
     disc-radius-dependent stream impact stays per-eclipse.
+
+    ``impact``: optional precomputed stream/disc-rim impact point for THIS
+    eclipse's disc radius (from the hoisted carry-only
+    ``stream_impacts`` solve, which replaces the stacked-trajectory path
+    in the fused posterior — see roche/stream.py).
     """
     from ..roche.stream import spot_position
 
@@ -151,7 +156,8 @@ def cv_geometry(pars, config: CVConfig = CVConfig(),
     else:
         x1, pl1, incl, traj, precise = core
     rdisc = rdisc_x * x1
-    impact = spot_position(q, rdisc, traj=traj)
+    if impact is None:
+        impact = spot_position(q, rdisc, traj=traj)
     return CVGeometry(x1, pl1, incl, rdisc, impact, precise)
 
 
@@ -290,13 +296,16 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
         use_pallas = jax.default_backend() == "tpu"
     if (use_pallas and geometry.precise is None
             and dtype == jnp.float32):
-        from ..ops.pallas_contacts import contacts_op
+        from ..ops.pallas_contacts import contacts_op_diff
 
         # componentwise coordinates across the kernel boundary: an
         # (N, 3) operand would materialise with its minor dim tile-padded
-        # 3 -> 128 in HBM (measured +14 ms on the 5-eclipse posterior)
-        intervals = contacts_op(q, incl, all_pos[..., 0], all_pos[..., 1],
-                                x1, pl1)
+        # 3 -> 128 in HBM (measured +14 ms on the 5-eclipse posterior).
+        # The _diff wrapper adds implicit-function-theorem tangents at the
+        # kernel-computed roots, so gradient samplers (HMC/NUTS) can run
+        # on the Pallas hot path too.
+        intervals = contacts_op_diff(q, incl, all_pos[..., 0],
+                                     all_pos[..., 1], x1, pl1)
     else:
         intervals = comp.element_intervals(q, incl, all_pos, x1, pl1,
                                            precise=geometry.precise,
@@ -304,12 +313,21 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
     n_disc = disc_pos.shape[0]
     disc_iv = tuple(a[:n_disc] for a in intervals)
     spot_iv = tuple(a[n_disc:] for a in intervals)
-    ydisc = dF * comp.element_flux_curve(ph, w, disc_iv, disc_w)
+    # NB: a Pallas kernel for this reduction (lane-rotation scheme: rotate
+    # the element vregs against the phase lanes, accumulate in registers)
+    # was built and measured in round 3 and LOST to the XLA fusion 123 vs
+    # 28 ms embedded — Mosaic lane-rolls cost far more than the arithmetic
+    # they feed, and XLA already fuses the visibility math into the
+    # weighted reduction without materialising the (P, N) cross product.
+    # Negative result recorded in ROADMAP.md; the XLA path stays.
+    disc_curve = comp.element_flux_curve(ph, w, disc_iv, disc_w)
+    spot_curve = comp.element_flux_curve(ph, w, spot_iv, spot_w)
+    ydisc = dF * disc_curve
     beam = jnp.maximum(
         jnp.dot(comp.earth_vector(ph, incl), normal,
                 precision=jax.lax.Precision.HIGHEST), 0.0)
     factor = fis + (1.0 - fis) * beam
-    yspot = sF * comp.element_flux_curve(ph, w, spot_iv, spot_w) * factor
+    yspot = sF * spot_curve * factor
 
     # ---- donor (smooth; never occulted) ---------------------------------
     raw_sec = comp.donor_flux(incl, sub, dgrid, config.ulimb_donor)

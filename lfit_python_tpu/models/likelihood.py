@@ -178,7 +178,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         return lp + jnp.sum(phys)
 
     def ln_like(var_vec):
-        from ..roche.stream import stream_trajectory
+        from ..roche.stream import stream_impacts
         from .components import donor_grid
         from .cv import cv_geometry, core_precise
 
@@ -190,13 +190,13 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         x1 = xl1(q)
         pl1 = l1_potential(q, x1)
         incl = findi(q, dphi, x1, pl1)
-        traj = stream_trajectory(q)
+        impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
-        core = (x1, pl1, incl, traj, core_precise(q, dphi, config, dtype))
+        core = (x1, pl1, incl, None, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
-            geom = cv_geometry(pars, config, core=core)
+            geom = cv_geometry(pars, config, core=core, impact=impacts[k])
             mflux = cv_total_flux(pars, data.phase[k], data.width[k],
                                   config, geometry=geom, donor=dgrid)
             if gp_ln_like is None:
@@ -219,13 +219,16 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         geometry are discarded by the final where, never propagated.
 
         Geometry that depends only on the *core* node (q, dphi) — L1,
-        inclination, the gas-stream trajectory, and the donor surface
+        inclination, the gas-stream integration, and the donor surface
         grid — is hoisted OUT of the per-eclipse vmap: the tree shares the
         core across all eclipses, so solving it per eclipse would multiply
         the work E-fold for identical answers (the TPU analogue of the
-        reference's geometry cache, SURVEY.md §2 "CV orchestrator").
+        reference's geometry cache, SURVEY.md §2 "CV orchestrator").  The
+        stream is integrated ONCE with all eclipses' disc radii resolved
+        in the carry (``stream_impacts``): the stacked-trajectory path is
+        ~11 ms of the north-star posterior, the carry-only one ~1 ms.
         """
-        from ..roche.stream import stream_trajectory
+        from ..roche.stream import stream_impacts
         from .components import donor_grid
         from .cv import cv_geometry, cv_physical_ok, core_precise
 
@@ -237,13 +240,13 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         x1 = xl1(q)
         pl1 = l1_potential(q, x1)
         incl = findi(q, dphi, x1, pl1)
-        traj = stream_trajectory(q)
+        impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
-        core = (x1, pl1, incl, traj, core_precise(q, dphi, config, dtype))
+        core = (x1, pl1, incl, None, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
-            geom = cv_geometry(pars, config, core=core)
+            geom = cv_geometry(pars, config, core=core, impact=impacts[k])
             ok = cv_physical_ok(pars, geom)
             mflux = cv_total_flux(pars, data.phase[k], data.width[k],
                                   config, geometry=geom, donor=dgrid)

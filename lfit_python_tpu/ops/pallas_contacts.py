@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["element_intervals_pallas", "contacts_op", "LANE"]
+__all__ = ["element_intervals_pallas", "contacts_op", "contacts_op_diff",
+           "LANE"]
 
 LANE = 1024          # elements per row (padded); 8 x (8, 128) vregs
 _W_BLOCK = 8         # walkers per program (sublane dimension)
@@ -317,3 +318,62 @@ def _contacts_op_vmap(axis_size, in_batched, q, incl, px, py, x1, pl1):
         _bcast(x1, in_batched[4], axis_size),
         _bcast(pl1, in_batched[5], axis_size))
     return out, (True, True, True)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: the Mosaic kernel is primal-only (custom_vmap has
+# no AD rule), but the contact phases are roots of the envelope clearance
+# c(phi; theta) = 0, so their tangents come from the implicit-function
+# theorem at the kernel-computed roots — the SAME formula as the XLA path's
+# _contact_interval_jvp (roche/geometry.py), with the residual evaluated
+# once per edge in plain XLA.  This makes jax.grad of a Pallas-path
+# posterior exact, unblocking HMC/NUTS on the production kernel.
+# ---------------------------------------------------------------------------
+
+@jax.custom_jvp
+def contacts_op_diff(q, incl, px, py, x1, pl1):
+    """:func:`contacts_op` with implicit-function-theorem tangents.
+
+    Same signature and primal program (zero primal cost: the JVP only
+    materialises under differentiation).  Use this in the forward model so
+    one code path serves both the ensemble sampler and gradient samplers.
+    """
+    return contacts_op(q, incl, px, py, x1, pl1)
+
+
+@contacts_op_diff.defjvp
+def _contacts_op_diff_jvp(primals, tangents):
+    import numpy as _np
+
+    from ..roche.geometry import _edge_residual
+
+    q, incl, px, py, x1, pl1 = primals
+    qd, inld, pxd, pyd, xvd, pld = tangents
+    out = contacts_op(q, incl, px, py, x1, pl1)
+    phi_in, phi_out, eclipsed = out
+
+    def edge_tangent(phi_e):
+        phi0 = jax.lax.stop_gradient(phi_e)
+
+        def c_of(qq, ii, pxx, pyy, xv, pll):
+            return _edge_residual(phi0, qq, ii, pxx, pyy, xv, pll)[0]
+
+        _, cdot = jax.jvp(c_of, (q, incl, px, py, x1, pl1),
+                          (qd, inld, pxd, pyd, xvd, pld))
+        _, dcdphi = _edge_residual(phi0, q, incl, px, py, x1, pl1)
+        # guard on the PRIMAL coefficient only — the result must stay
+        # linear in ``cdot`` or reverse-mode transposition fails
+        coeff = -1.0 / dcdphi
+        coeff = jnp.where(jnp.isfinite(coeff), coeff, jnp.zeros_like(coeff))
+        return coeff * cdot
+
+    def phic(pxx, pyy):
+        return jnp.arctan2(pyy, 1.0 - pxx) / (2.0 * jnp.pi)
+
+    _, phicd = jax.jvp(phic, (px, py), (pxd, pyd))
+
+    din = jnp.where(eclipsed, edge_tangent(phi_in), phicd)
+    dout = jnp.where(eclipsed, edge_tangent(phi_out), phicd)
+    ecl_dot = _np.zeros(eclipsed.shape, dtype=jax.dtypes.float0)
+    return out, (din.astype(phi_in.dtype), dout.astype(phi_out.dtype),
+                 ecl_dot)

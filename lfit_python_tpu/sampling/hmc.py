@@ -26,10 +26,11 @@ Design for the TPU/XLA model:
   where ln_prob = -inf) are divergences: the proposal is rejected and
   the divergence counted; positions never become NaN.
 
-Caller contract: ``ln_prob_fn`` must be differentiable — build it with
-``CVConfig(pallas_contacts=False)`` (the Mosaic contact kernel is
-primal-only; the auto default would select it on TPU).  The CLI pins
-this for ``--sampler hmc``.
+Caller contract: ``ln_prob_fn`` must be differentiable.  The Pallas
+contact kernel is differentiable via implicit-function-theorem tangents
+(``ops.pallas_contacts.contacts_op_diff``), so the default TPU config
+works under ``jax.grad``; only ``--precise`` (primal-only refinement)
+is incompatible.
 """
 
 from __future__ import annotations

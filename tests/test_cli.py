@@ -165,6 +165,44 @@ class TestHMCCLI:
         assert main(args + ["--shard"]) == 2
 
 
+class TestNUTSCLI:
+    def test_nuts_fit_runs(self, fit_dir):
+        """--sampler nuts: adaptive-trajectory gradient fit end-to-end."""
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out_nuts"
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet", "--sampler", "nuts",
+                   "--nuts-max-depth", "3", "--nburn", "10", "--nprod",
+                   "8", "--no-plots", "--resolution", "low",
+                   "--checkpoint-every", "4"])
+        assert rc == 0
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, names = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (8, 32, 13)
+        assert np.isfinite(lnp).all()
+        from lfit_python_tpu.sampling.hmc import HMCState
+        from lfit_python_tpu.utils.checkpoints import load_checkpoint
+        state, meta = load_checkpoint(out / "checkpoint_0000008.npz")
+        assert isinstance(state, HMCState)
+        assert meta.get("kind") == "nuts"
+
+    def test_nuts_refuses_hmc_checkpoint(self, fit_dir):
+        """Same HMCState layout, different kernel: resuming an hmc
+        checkpoint under --sampler nuts must be refused by the saved
+        ``kind`` field."""
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out_hmc"      # produced by test_hmc_fit_runs
+        if not (out / "checkpoint_0000008.npz").exists():
+            import pytest
+            pytest.skip("hmc checkpoint fixture missing")
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet", "--sampler", "nuts",
+                   "--resume", "--resolution", "low", "--no-plots"])
+        assert rc == 2
+
+
 class TestPTCLI:
     def test_pt_fit_runs(self, fit_dir):
         from lfit_python_tpu.cli import main

@@ -171,3 +171,59 @@ class TestStream:
         sps = jax.vmap(lambda q, r: spot_position(q, r))(qs, rd)
         radii = jnp.linalg.norm(sps, axis=-1)
         np.testing.assert_allclose(np.asarray(radii), np.asarray(rd), atol=2e-3)
+
+    def test_stream_impacts_matches_spot_position(self):
+        """The carry-only multi-radius integration (the fused posterior's
+        hot path) must reproduce the stacked-trajectory oracle, incl. the
+        closest-approach fallback for a disc the stream never reaches."""
+        from lfit_python_tpu.roche.stream import stream_impacts
+
+        for q in (0.08, 0.15, 0.6):
+            qd = jnp.asarray(q, jnp.float64)
+            x1 = xl1(qd)
+            # last radius is tiny: stream never reaches it -> fallback
+            rds = jnp.asarray([0.25, 0.35, 0.45, 0.02], jnp.float64) * x1
+            got = stream_impacts(qd, rds, x1)
+            want = jnp.stack([spot_position(qd, rd) for rd in rds])
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-10)
+
+    def test_stream_impacts_jacobian_matches_ad_oracle(self):
+        """The custom forward-sensitivity JVP (Jacobian columns integrated
+        in the carry) must equal plain forward-mode AD through the raw
+        scan — the exact derivative of the discrete RK4 map — including
+        the closest-approach fallback row (rd-derivative exactly zero)."""
+        from lfit_python_tpu.roche.stream import (
+            _DT, _stream_impacts_impl, stream_impacts)
+
+        q = jnp.asarray(0.12, jnp.float64)
+        x1 = xl1(q)
+        # last radius is tiny: fallback branch (never crossed)
+        rds = jnp.asarray([0.5, 0.35, 0.02], jnp.float64) * x1
+
+        def f(qq, rr, xx):
+            return stream_impacts(qq, rr, xx)
+
+        def oracle(qq, rr, xx):
+            return _stream_impacts_impl(qq, rr, xx, 6000, _DT, 1,
+                                        with_sens=False)[0]
+
+        for argnum in (0, 1, 2):
+            jf = jax.jacfwd(f, argnum)(q, rds, x1)
+            jo = jax.jacfwd(oracle, argnum)(q, rds, x1)
+            np.testing.assert_allclose(
+                np.asarray(jf), np.asarray(jo), rtol=1e-8, atol=1e-10,
+                err_msg=f"Jacobian argnum {argnum} diverges from AD oracle")
+        # reverse mode works through the custom JVP (linear tangents)
+        g = jax.grad(lambda qq: jnp.sum(f(qq, rds, x1)))(q)
+        assert np.isfinite(float(g))
+
+    def test_stream_impacts_vmappable(self):
+        from lfit_python_tpu.roche.stream import stream_impacts
+
+        qs = jnp.array([0.1, 0.2, 0.3])
+        rd = jnp.array([[0.3, 0.35], [0.35, 0.3], [0.4, 0.25]])
+        out = jax.vmap(stream_impacts)(qs, rd)
+        radii = jnp.linalg.norm(out, axis=-1)
+        np.testing.assert_allclose(np.asarray(radii), np.asarray(rd),
+                                   atol=2e-3)
