@@ -103,11 +103,6 @@ def _fit(args):
                   "ladder); unset usePT or use the default ensemble "
                   "sampler", file=sys.stderr)
             return 2
-        if args.shard:
-            print(f"--sampler {args.sampler} does not support --shard yet "
-                  "(chains are single-device; the ensemble sampler "
-                  "shards)", file=sys.stderr)
-            return 2
     ln_prob = make_ln_prob(model, config=cvcfg, dtype=dtype)
     use_pt = bool(cfg.get("usePT", False))
 
@@ -232,6 +227,23 @@ def _fit(args):
         from .sampling.nuts import run_nuts, warmup_nuts
 
         kind = args.sampler
+        traj_fn = None
+        if args.shard:
+            # chain-axis data parallelism over the device mesh: chains
+            # never interact, so each device integrates its own block
+            # (parallel/mesh.py; SURVEY.md §5.8 — the walker axis is this
+            # workload's only parallel axis)
+            from .parallel.mesh import (
+                shard_hmc_state, sharded_hmc_trajectories,
+                sharded_nuts_trajectories, walker_mesh)
+
+            mesh = walker_mesh()
+            if kind == "nuts":
+                traj_fn = sharded_nuts_trajectories(
+                    ln_prob, mesh, max_depth=args.nuts_max_depth)
+            else:
+                traj_fn = sharded_hmc_trajectories(
+                    ln_prob, mesh, n_leapfrog=args.hmc_leapfrog)
         resume_from = None
         if args.resume:
             from .utils.checkpoints import latest_checkpoint
@@ -250,16 +262,22 @@ def _fit(args):
                       "sampler kinds", file=sys.stderr)
                 return 2
             print(f"resumed from {resume_from} at step {int(state.step)}")
+            if args.shard:
+                state = shard_hmc_state(state, mesh)
         else:
             state = init_hmc(jax.random.PRNGKey(args.seed), start, scatter,
                              ln_prob, n_walkers)
+            if args.shard:
+                state = shard_hmc_state(state, mesh)
             t_w = time.time()
             if kind == "nuts":
                 state = warmup_nuts(state, ln_prob, n_burn,
-                                    max_depth=args.nuts_max_depth)
+                                    max_depth=args.nuts_max_depth,
+                                    traj_batch_fn=traj_fn)
             else:
                 state = warmup_hmc(state, ln_prob, n_burn,
-                                   n_leapfrog=args.hmc_leapfrog)
+                                   n_leapfrog=args.hmc_leapfrog,
+                                   traj_batch_fn=traj_fn)
             log("warmup", n_burn, 0.0)
             if not args.quiet:
                 print(f"warmup {time.time() - t_w:.1f}s: step_size="
@@ -278,13 +296,15 @@ def _fit(args):
                 state, chain, chain_lp, acc, div, depth = run_nuts(
                     state, ln_prob, n, max_depth=args.nuts_max_depth,
                     thin=thin, chunk_size=chunk,
-                    progress=lambda s, a: log("prod", done + s, a))
+                    progress=lambda s, a: log("prod", done + s, a),
+                    traj_batch_fn=traj_fn)
                 depth_note = f", mean depth {float(np.mean(depth)):.1f}"
             else:
                 state, chain, chain_lp, acc, div = run_hmc(
                     state, ln_prob, n, n_leapfrog=args.hmc_leapfrog,
                     thin=thin, chunk_size=chunk,
-                    progress=lambda s, a: log("prod", done + s, a))
+                    progress=lambda s, a: log("prod", done + s, a),
+                    traj_batch_fn=traj_fn)
             writer.append(chain, chain_lp)
             all_chain.append(chain)
             all_lp.append(chain_lp)

@@ -21,7 +21,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..sampling.ensemble import EnsembleState
 
 __all__ = ["walker_mesh", "shard_state", "walker_sharding",
-           "shard_pt_state", "sharded_pt_batch_parts"]
+           "shard_pt_state", "sharded_pt_batch_parts",
+           "shard_hmc_state", "sharded_hmc_trajectories",
+           "sharded_nuts_trajectories"]
 
 WALKER_AXIS = "walkers"
 
@@ -97,6 +99,68 @@ def sharded_pt_batch_parts(ln_prior_fn, ln_like_fn, mesh: Mesh):
         in_specs=P(None, WALKER_AXIS),
         out_specs=(P(None, WALKER_AXIS), P(None, WALKER_AXIS)),
         check_vma=False)
+
+
+def shard_hmc_state(state, mesh: Mesh):
+    """Place an HMC/NUTS state on the mesh: chain-sharded positions /
+    log-probs / gradients, replicated key, step size, metric and step
+    counter.  Unlike the stretch move there is no half-ensemble
+    constraint — chains are fully independent — so the chain count need
+    only divide the mesh size."""
+    from ..sampling.hmc import HMCState
+
+    n_dev = mesh.devices.size
+    C = state.positions.shape[0]
+    if C % n_dev:
+        raise ValueError(
+            f"n_chains={C} must be divisible by n_devices={n_dev}")
+    shard = walker_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    return HMCState(
+        key=jax.device_put(state.key, rep),
+        positions=jax.device_put(state.positions, shard),
+        log_prob=jax.device_put(state.log_prob, shard),
+        grad=jax.device_put(state.grad, shard),
+        step_size=jax.device_put(state.step_size, rep),
+        inv_mass=jax.device_put(state.inv_mass, rep),
+        step=jax.device_put(state.step, rep),
+    )
+
+
+def _sharded_trajectories(batch_fn, mesh: Mesh):
+    """shard_map a chain-batched trajectory evaluator (hmc/nuts contract:
+    (keys, x, lp, g, eps, inv_mass) -> per-chain outputs).  Gradient-
+    sampler chains never interact, so the body contains NO collectives —
+    each device integrates its local chain block; only the scalar
+    accept/divergence statistics reduce across the mesh (outside this
+    wrapper, via plain jnp.mean on the sharded outputs)."""
+    return jax.shard_map(
+        batch_fn, mesh=mesh,
+        in_specs=(P(WALKER_AXIS), P(WALKER_AXIS), P(WALKER_AXIS),
+                  P(WALKER_AXIS), P(), P()),
+        out_specs=P(WALKER_AXIS),
+        check_vma=False)
+
+
+def sharded_hmc_trajectories(ln_prob_fn, mesh: Mesh, n_leapfrog=16):
+    """Mesh-sharded ``traj_batch_fn`` for ``hmc_step``/``run_hmc``."""
+    from ..sampling.hmc import batch_trajectories
+
+    return _sharded_trajectories(
+        batch_trajectories(ln_prob_fn, n_leapfrog), mesh)
+
+
+def sharded_nuts_trajectories(ln_prob_fn, mesh: Mesh, max_depth=8):
+    """Mesh-sharded ``traj_batch_fn`` for ``nuts_step``/``run_nuts``.
+
+    Under vmap the NUTS doubling loops run to the batch's deepest
+    trajectory; sharding localises that lockstep to each device's chain
+    block, so a single pathological chain no longer stalls the whole
+    batch — only its own shard."""
+    from ..sampling.nuts import batch_nuts_trajectories
+
+    return _sharded_trajectories(
+        batch_nuts_trajectories(ln_prob_fn, max_depth), mesh)
 
 
 def sharded_batch_ln_prob(ln_prob_fn, mesh: Mesh):

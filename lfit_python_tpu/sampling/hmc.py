@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HMCState", "init_hmc", "hmc_step", "warmup_hmc", "run_hmc"]
+__all__ = ["HMCState", "init_hmc", "hmc_step", "warmup_hmc", "run_hmc",
+           "batch_trajectories"]
 
 _TARGET_ACCEPT = 0.8
 
@@ -152,18 +153,38 @@ def _trajectory(key, x0, lp0, g0, eps, inv_mass, vg_fn, n_leapfrog):
     return x_new, lp_new, g_new, accept, accept_prob, divergent
 
 
-def hmc_step(state: HMCState, ln_prob_fn, n_leapfrog=16):
-    """One HMC step for all chains. Returns (state, accept_frac,
-    mean_accept_prob, divergence_frac)."""
+def batch_trajectories(ln_prob_fn, n_leapfrog):
+    """Default chain-batched trajectory evaluator: plain vmap.
+
+    Signature ``(keys (C,2), x (C,D), lp (C,), g (C,D), eps (), inv_mass
+    (D,)) -> (x, lp, g, accept, accept_prob, divergent)`` — chains are
+    fully independent, so a mesh-sharded equivalent is shard_map of this
+    same vmap (``parallel.mesh.sharded_hmc_trajectories``), zero
+    collectives inside."""
     vg = _value_and_grad(ln_prob_fn)
+
+    def run(keys, x, lp, g, eps, inv_mass):
+        return jax.vmap(
+            lambda k, x0, lp0, g0: _trajectory(
+                k, x0, lp0, g0, eps, inv_mass, vg, n_leapfrog)
+        )(keys, x, lp, g)
+
+    return run
+
+
+def hmc_step(state: HMCState, ln_prob_fn, n_leapfrog=16,
+             traj_batch_fn=None):
+    """One HMC step for all chains. Returns (state, accept_frac,
+    mean_accept_prob, divergence_frac).  ``traj_batch_fn`` overrides the
+    plain-vmap chain batch evaluator (mesh sharding hook)."""
+    if traj_batch_fn is None:
+        traj_batch_fn = batch_trajectories(ln_prob_fn, n_leapfrog)
     key, k_step = jax.random.split(state.key)
     C = state.positions.shape[0]
     keys = jax.random.split(k_step, C)
-    x, lp, g, acc, aprob, div = jax.vmap(
-        lambda k, x0, lp0, g0: _trajectory(
-            k, x0, lp0, g0, state.step_size, state.inv_mass, vg,
-            n_leapfrog)
-    )(keys, state.positions, state.log_prob, state.grad)
+    x, lp, g, acc, aprob, div = traj_batch_fn(
+        keys, state.positions, state.log_prob, state.grad,
+        state.step_size, state.inv_mass)
     new = HMCState(key, x, lp, g, state.step_size, state.inv_mass,
                    state.step + 1)
     return new, jnp.mean(acc.astype(x.dtype)), jnp.mean(aprob), \
@@ -199,7 +220,7 @@ def _da_update(da: _DAState, accept_prob, target=_TARGET_ACCEPT,
 
 
 def warmup_hmc(state: HMCState, ln_prob_fn, n_warmup, n_leapfrog=16,
-               target_accept=_TARGET_ACCEPT):
+               target_accept=_TARGET_ACCEPT, traj_batch_fn=None):
     """Stan-style two-phase warmup: dual-averaged step size, then a
     diagonal metric from phase-1 samples, then dual averaging again under
     the new metric. Returns the tuned state (positions at the warmup
@@ -211,7 +232,8 @@ def warmup_hmc(state: HMCState, ln_prob_fn, n_warmup, n_leapfrog=16,
     def phase(state, da, n):
         def body(carry, _):
             st, da = carry
-            st, _, aprob, _ = hmc_step(st, ln_prob_fn, n_leapfrog)
+            st, _, aprob, _ = hmc_step(st, ln_prob_fn, n_leapfrog,
+                                       traj_batch_fn)
             da = _da_update(da, aprob, target_accept)
             st = st._replace(
                 step_size=jnp.exp(da.log_eps).astype(st.step_size.dtype))
@@ -228,9 +250,10 @@ def warmup_hmc(state: HMCState, ln_prob_fn, n_warmup, n_leapfrog=16,
     # diagonal metric from the second half of phase-1 draws, pooled over
     # chains (regularised toward unity like Stan: shrink for few samples)
     tail = xs1[n1 // 2:]
-    flat = tail.reshape(-1, tail.shape[-1])
-    n = flat.shape[0]
-    var = jnp.var(flat, axis=0)
+    # variance over (step, chain) without reshape: merging a sharded
+    # chain axis into the step axis is unsupported on a mesh
+    n = tail.shape[0] * tail.shape[1]
+    var = jnp.var(tail, axis=(0, 1))
     var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
     state = state._replace(inv_mass=var.astype(state.inv_mass.dtype))
 
@@ -238,14 +261,15 @@ def warmup_hmc(state: HMCState, ln_prob_fn, n_warmup, n_leapfrog=16,
     return state._replace(step=jnp.asarray(0, jnp.int32))
 
 
-def _hmc_step_closure(ln_prob_fn, n_leapfrog):
+def _hmc_step_closure(ln_prob_fn, n_leapfrog, traj_batch_fn=None):
     from .ensemble import _STEP_CACHE
 
-    key = ("hmc", ln_prob_fn, int(n_leapfrog))
+    key = ("hmc", ln_prob_fn, int(n_leapfrog), traj_batch_fn)
     fn = _STEP_CACHE.get(key)
     if fn is None:
         def fn(s):
-            s, acc, _, div = hmc_step(s, ln_prob_fn, n_leapfrog)
+            s, acc, _, div = hmc_step(s, ln_prob_fn, n_leapfrog,
+                                      traj_batch_fn)
             return s, (acc, div)
 
         _STEP_CACHE[key] = fn
@@ -254,14 +278,15 @@ def _hmc_step_closure(ln_prob_fn, n_leapfrog):
 
 def run_hmc(state: HMCState, ln_prob_fn, n_steps, n_leapfrog=16, thin=1,
             chunk_size=32,
-            progress: Optional[Callable[[int, float], None]] = None):
+            progress: Optional[Callable[[int, float], None]] = None,
+            traj_batch_fn=None):
     """Run HMC for ``n_steps``; same chunked on-device-thinned transfer
     contract as ensemble.run_sampler (see ensemble.run_chunked).
     Returns (state, chain (n_kept, C, D), chain_lp (n_kept, C),
     accept (n_steps,), divergences (n_steps,))."""
     from .ensemble import run_chunked
 
-    step_fn = _hmc_step_closure(ln_prob_fn, n_leapfrog)
+    step_fn = _hmc_step_closure(ln_prob_fn, n_leapfrog, traj_batch_fn)
     state, chain, chain_lp, aux = run_chunked(
         state, step_fn, n_steps, thin=thin, chunk_size=chunk_size,
         progress=progress)

@@ -49,7 +49,8 @@ import numpy as np
 
 from .hmc import HMCState, _da_init, _da_update, _value_and_grad, init_hmc
 
-__all__ = ["init_nuts", "nuts_step", "warmup_nuts", "run_nuts"]
+__all__ = ["init_nuts", "nuts_step", "warmup_nuts", "run_nuts",
+           "batch_nuts_trajectories"]
 
 _TARGET_ACCEPT = 0.8
 _MAX_DELTA_ENERGY = 1000.0
@@ -262,22 +263,41 @@ def _nuts_trajectory(key, x0, lp0, g0, eps, inv_mass, vg_fn, max_depth,
     return x, lp, g, accept_stat, carry["diverging"], carry["depth"]
 
 
+def batch_nuts_trajectories(ln_prob_fn, max_depth,
+                            max_delta_energy=_MAX_DELTA_ENERGY):
+    """Default chain-batched NUTS trajectory evaluator (plain vmap);
+    same contract as hmc.batch_trajectories but returning
+    (x, lp, g, accept_stat, divergent, depth).  Chains are independent:
+    the mesh-sharded variant is shard_map of this vmap
+    (``parallel.mesh.sharded_nuts_trajectories``)."""
+    vg = _value_and_grad(ln_prob_fn)
+
+    def run(keys, x, lp, g, eps, inv_mass):
+        return jax.vmap(
+            lambda k, x0, lp0, g0: _nuts_trajectory(
+                k, x0, lp0, g0, eps, inv_mass, vg, max_depth,
+                max_delta_energy)
+        )(keys, x, lp, g)
+
+    return run
+
+
 def nuts_step(state: HMCState, ln_prob_fn, max_depth=8,
-              max_delta_energy=_MAX_DELTA_ENERGY):
+              max_delta_energy=_MAX_DELTA_ENERGY, traj_batch_fn=None):
     """One NUTS step for all chains.  Returns (state, accept_stat,
     mean_accept_stat, divergence_frac, mean_depth); accept_stat is the
     dual-averaging statistic (mean leaf MH probability), which is also
     what ``progress`` reports (NUTS has no reject step — the multinomial
     draw IS the transition)."""
-    vg = _value_and_grad(ln_prob_fn)
+    if traj_batch_fn is None:
+        traj_batch_fn = batch_nuts_trajectories(ln_prob_fn, max_depth,
+                                                max_delta_energy)
     key, k_step = jax.random.split(state.key)
     C = state.positions.shape[0]
     keys = jax.random.split(k_step, C)
-    x, lp, g, astat, div, depth = jax.vmap(
-        lambda k, x0, lp0, g0: _nuts_trajectory(
-            k, x0, lp0, g0, state.step_size, state.inv_mass, vg,
-            max_depth, max_delta_energy)
-    )(keys, state.positions, state.log_prob, state.grad)
+    x, lp, g, astat, div, depth = traj_batch_fn(
+        keys, state.positions, state.log_prob, state.grad,
+        state.step_size, state.inv_mass)
     new = HMCState(key, x, lp, g, state.step_size, state.inv_mass,
                    state.step + 1)
     fdt = x.dtype
@@ -286,7 +306,7 @@ def nuts_step(state: HMCState, ln_prob_fn, max_depth=8,
 
 
 def warmup_nuts(state: HMCState, ln_prob_fn, n_warmup, max_depth=8,
-                target_accept=_TARGET_ACCEPT):
+                target_accept=_TARGET_ACCEPT, traj_batch_fn=None):
     """Stan-style two-phase warmup (dual-averaged step size -> diagonal
     metric from phase-1 draws -> re-averaged step size), with NUTS as the
     transition kernel.  Mirrors hmc.warmup_hmc."""
@@ -299,7 +319,8 @@ def warmup_nuts(state: HMCState, ln_prob_fn, n_warmup, max_depth=8,
     def phase(state, da, n):
         def body(carry, _):
             st, da = carry
-            st, _, aprob, _, _ = nuts_step(st, ln_prob_fn, max_depth)
+            st, _, aprob, _, _ = nuts_step(st, ln_prob_fn, max_depth,
+                                           traj_batch_fn=traj_batch_fn)
             da = _da_update(da, aprob, target_accept)
             st = st._replace(
                 step_size=jnp.exp(da.log_eps).astype(st.step_size.dtype))
@@ -313,9 +334,10 @@ def warmup_nuts(state: HMCState, ln_prob_fn, n_warmup, max_depth=8,
     state, _, xs1 = phase(state, _da_init(state.step_size), n1)
 
     tail = xs1[n1 // 2:]
-    flat = tail.reshape(-1, tail.shape[-1])
-    n = flat.shape[0]
-    var = jnp.var(flat, axis=0)
+    # variance over (step, chain) without reshape: merging a sharded
+    # chain axis into the step axis is unsupported on a mesh
+    n = tail.shape[0] * tail.shape[1]
+    var = jnp.var(tail, axis=(0, 1))
     var = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * 1e-3
     state = state._replace(inv_mass=var.astype(state.inv_mass.dtype))
 
@@ -323,14 +345,15 @@ def warmup_nuts(state: HMCState, ln_prob_fn, n_warmup, max_depth=8,
     return state._replace(step=jnp.asarray(0, jnp.int32))
 
 
-def _nuts_step_closure(ln_prob_fn, max_depth):
+def _nuts_step_closure(ln_prob_fn, max_depth, traj_batch_fn=None):
     from .ensemble import _STEP_CACHE
 
-    key = ("nuts", ln_prob_fn, int(max_depth))
+    key = ("nuts", ln_prob_fn, int(max_depth), traj_batch_fn)
     fn = _STEP_CACHE.get(key)
     if fn is None:
         def fn(s):
-            s, astat, _, div, depth = nuts_step(s, ln_prob_fn, max_depth)
+            s, astat, _, div, depth = nuts_step(
+                s, ln_prob_fn, max_depth, traj_batch_fn=traj_batch_fn)
             return s, (astat, div, depth)
 
         _STEP_CACHE[key] = fn
@@ -339,14 +362,15 @@ def _nuts_step_closure(ln_prob_fn, max_depth):
 
 def run_nuts(state: HMCState, ln_prob_fn, n_steps, max_depth=8, thin=1,
              chunk_size=32,
-             progress: Optional[Callable[[int, float], None]] = None):
+             progress: Optional[Callable[[int, float], None]] = None,
+             traj_batch_fn=None):
     """Run NUTS for ``n_steps``; same chunked on-device-thinned transfer
     contract as ensemble.run_sampler / hmc.run_hmc.
     Returns (state, chain (n_kept, C, D), chain_lp (n_kept, C),
     accept_stat (n_steps,), divergences (n_steps,), depths (n_steps,))."""
     from .ensemble import run_chunked
 
-    step_fn = _nuts_step_closure(ln_prob_fn, max_depth)
+    step_fn = _nuts_step_closure(ln_prob_fn, max_depth, traj_batch_fn)
     state, chain, chain_lp, aux = run_chunked(
         state, step_fn, n_steps, thin=thin, chunk_size=chunk_size,
         progress=progress)

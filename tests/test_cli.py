@@ -162,7 +162,24 @@ class TestHMCCLI:
         args = ["fit", str(fit_dir / "mcmc_input.dat"), "--outdir",
                 str(fit_dir / "x"), "--sampler", "hmc", "--quiet"]
         assert main(args + ["--precise"]) == 2
-        assert main(args + ["--shard"]) == 2
+
+    def test_hmc_sharded_fit_runs(self, fit_dir):
+        """--sampler hmc --shard: chain-axis data parallelism over the
+        8-device virtual mesh through the full CLI path (warmup, chunked
+        production, checkpoints)."""
+        from lfit_python_tpu.cli import main
+
+        out = fit_dir / "out_hmc_shard"
+        rc = main(["fit", str(fit_dir / "mcmc_input.dat"),
+                   "--outdir", str(out), "--quiet", "--sampler", "hmc",
+                   "--hmc-leapfrog", "4", "--nburn", "10", "--nprod", "8",
+                   "--no-plots", "--resolution", "low", "--shard",
+                   "--checkpoint-every", "8"])
+        assert rc == 0
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, names = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (8, 32, 13)
+        assert np.isfinite(lnp).all()
 
 
 class TestNUTSCLI:

@@ -64,6 +64,93 @@ class TestShardedEnsemble:
         assert 0.5 < flat.std() < 1.5
 
 
+class TestShardedGradientSamplers:
+    """Chain-axis sharding of HMC/NUTS: chains never interact, so the
+    shard_map'd trajectory batch must be bitwise identical to the plain
+    vmap (same per-chain PRNG keys, same math, only layout differs)."""
+
+    def _rosenbrock(self, x):
+        return -jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                        + (1.0 - x[:-1]) ** 2)
+
+    def test_sharded_hmc_step_bitwise(self, mesh):
+        from lfit_python_tpu.parallel.mesh import (
+            shard_hmc_state, sharded_hmc_trajectories)
+        from lfit_python_tpu.sampling.hmc import hmc_step, init_hmc
+
+        state = init_hmc(jax.random.PRNGKey(7), jnp.zeros(3),
+                         0.5 * jnp.ones(3), self._rosenbrock, 32,
+                         step_size=0.01)
+        traj = sharded_hmc_trajectories(self._rosenbrock, mesh,
+                                        n_leapfrog=8)
+        ref = jax.jit(
+            lambda s: hmc_step(s, self._rosenbrock, 8)[0])(state)
+        shd = jax.jit(
+            lambda s: hmc_step(s, self._rosenbrock, 8, traj)[0]
+        )(shard_hmc_state(state, mesh))
+        # same algorithm, same PRNG stream; XLA may make different FMA/
+        # fusion choices inside the shard_map sub-computation, so allow
+        # last-bit rounding differences (measured: 2/32 chains, 1 ulp)
+        np.testing.assert_allclose(
+            np.asarray(ref.positions), np.asarray(shd.positions),
+            rtol=0, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ref.log_prob), np.asarray(shd.log_prob),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ref.grad), np.asarray(shd.grad),
+            rtol=1e-9, atol=1e-9)
+
+    def test_sharded_nuts_step_bitwise(self, mesh):
+        from lfit_python_tpu.parallel.mesh import (
+            shard_hmc_state, sharded_nuts_trajectories)
+        from lfit_python_tpu.sampling.nuts import init_nuts, nuts_step
+
+        state = init_nuts(jax.random.PRNGKey(9), jnp.zeros(2),
+                          0.5 * jnp.ones(2), _ln_prob, 16,
+                          step_size=0.3)
+        traj = sharded_nuts_trajectories(_ln_prob, mesh, max_depth=5)
+        ref = jax.jit(
+            lambda s: nuts_step(s, _ln_prob, 5)[0])(state)
+        shd = jax.jit(
+            lambda s: nuts_step(s, _ln_prob, 5, traj_batch_fn=traj)[0]
+        )(shard_hmc_state(state, mesh))
+        np.testing.assert_array_equal(
+            np.asarray(ref.positions), np.asarray(shd.positions))
+        np.testing.assert_array_equal(
+            np.asarray(ref.log_prob), np.asarray(shd.log_prob))
+
+    def test_sharded_hmc_run_and_warmup(self, mesh):
+        """warmup (dual averaging + metric) and run_hmc work on a sharded
+        state end-to-end and sample the right distribution."""
+        from lfit_python_tpu.parallel.mesh import (
+            shard_hmc_state, sharded_hmc_trajectories)
+        from lfit_python_tpu.sampling.hmc import (
+            init_hmc, run_hmc, warmup_hmc)
+
+        state = init_hmc(jax.random.PRNGKey(11), jnp.zeros(2),
+                         0.5 * jnp.ones(2), _ln_prob, 32)
+        traj = sharded_hmc_trajectories(_ln_prob, mesh, n_leapfrog=8)
+        state = warmup_hmc(shard_hmc_state(state, mesh), _ln_prob, 100,
+                           n_leapfrog=8, traj_batch_fn=traj)
+        state, chain, chain_lp, acc, div = run_hmc(
+            state, _ln_prob, 200, n_leapfrog=8, traj_batch_fn=traj)
+        assert chain.shape == (200, 32, 2)
+        flat = chain[50:].reshape(-1, 2)
+        assert abs(flat.mean()) < 0.2
+        assert 0.6 < flat.std() < 1.4
+        assert acc.mean() > 0.5
+
+    def test_rejects_indivisible_chain_count(self, mesh):
+        from lfit_python_tpu.parallel.mesh import shard_hmc_state
+        from lfit_python_tpu.sampling.hmc import init_hmc
+
+        state = init_hmc(jax.random.PRNGKey(0), jnp.zeros(2),
+                         jnp.ones(2), _ln_prob, 12)
+        with pytest.raises(ValueError, match="divisible"):
+            shard_hmc_state(state, mesh)
+
+
 class TestShardMapBatchPath:
     def test_shard_map_batch_matches_vmap(self, mesh):
         """The shard_map batch evaluator (used for posteriors whose inner
