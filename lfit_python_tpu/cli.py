@@ -175,7 +175,7 @@ def _fit(args):
                 ln_prior_fn, ln_like_fn, mesh)
 
         if not resume_from and n_burn > 0:
-            ptstate, _, _, _ = run_pt(
+            ptstate, _, _, _, _ = run_pt(
                 ptstate, ln_prior_fn, ln_like_fn, n_burn, chunk_size=chunk,
                 batch_parts_fn=batch_parts,
                 progress=lambda s, a: log("burn", s, a))
@@ -185,16 +185,17 @@ def _fit(args):
                              append=bool(resume_from))
         ckpt_every = max(args.checkpoint_every, 1)
         done = int(ptstate.step)
-        all_chain, all_lp = [], []
+        all_chain, all_lp, all_rung_ll = [], [], []
         while done < n_prod:
             n = min(ckpt_every, n_prod - done)
-            ptstate, chain, lp, acc = run_pt(
+            ptstate, chain, lp, acc, rung_ll = run_pt(
                 ptstate, ln_prior_fn, ln_like_fn, n, thin=thin,
                 chunk_size=chunk, batch_parts_fn=batch_parts,
                 progress=lambda s, a: log("prod", done + s, a))
             writer.append(chain, lp)
             all_chain.append(chain)
             all_lp.append(lp)
+            all_rung_ll.append(rung_ll)
             done += n
             save_checkpoint(outdir / f"checkpoint_{done:07d}.npz", ptstate,
                             {"input": str(args.input), "stage": "prod",
@@ -214,6 +215,22 @@ def _fit(args):
         n_evals = (n_burn + n_prod) * n_walkers * n_temps
         print(f"PT ({n_temps} rungs) total {dt:.1f}s, "
               f"~{n_evals / max(dt, 1e-9):.0f} ln-prob evals/s")
+        if all_rung_ll:
+            # evidence from the ladder (thermodynamic integration) — a
+            # byproduct the reference-family PT runs also exposed via
+            # emcee's PTSampler [R-med]
+            from .sampling.pt import log_evidence
+            mean_ll = np.concatenate(all_rung_ll).mean(axis=0)
+            ln_z, dln_z = log_evidence(np.asarray(ptstate.betas), mean_ll)
+            (outdir / "evidence.json").write_text(json.dumps({
+                "ln_evidence": ln_z, "dln_evidence": dln_z,
+                "betas": np.asarray(ptstate.betas).tolist(),
+                "mean_ln_like_per_rung": mean_ll.tolist(),
+                "note": ("thermodynamic integration over the production "
+                         "ladder; dln = full vs half-ladder difference"),
+            }, indent=1))
+            print(f"ln evidence (thermodynamic integration): "
+                  f"{ln_z:.3f} +- {dln_z:.3f}")
         _report(model, chain, lp, outdir, args)
         _notify_done(args, cfg, outdir)
         return 0

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PTState", "default_beta_ladder", "init_pt", "pt_step", "run_pt"]
+__all__ = ["PTState", "default_beta_ladder", "init_pt", "pt_step", "run_pt",
+           "log_evidence"]
 
 
 class PTState(NamedTuple):
@@ -170,7 +171,9 @@ def pt_step(state: PTState, ln_prior_fn, ln_like_fn, a=2.0,
         pos, lp, ll = jax.lax.fori_loop(0, T - 1, swap_pair, (pos, lp, ll))
 
     new_state = PTState(key, pos, ll, lp, betas, state.step + 1)
-    return new_state, n_acc / (T * W)
+    # per-rung ensemble-mean ln-likelihood: the thermodynamic-integration
+    # integrand <ln L>_beta, accumulated by run_pt for log_evidence
+    return new_state, (n_acc / (T * W), jnp.mean(ll, axis=1))
 
 
 def _extract_cold(s):
@@ -184,13 +187,16 @@ def run_pt(state: PTState, ln_prior_fn, ln_like_fn, n_steps, a=2.0,
            progress: Optional[Callable[[int, float], None]] = None,
            batch_parts_fn=None):
     """Run PT; returns (state, cold positions (n_kept, W, D), cold ln_post,
-    accept_frac (n_steps,)).
+    accept_frac (n_steps,), rung_ln_like (n_steps, T)).
 
     Only the beta = 1 (cold) rung is returned as samples — the hotter
     rungs exist to help mode-hopping, exactly as in the reference's PT
-    use [R].  Chunked with ON-DEVICE thinning like the untempered
-    ``run_sampler`` (see ensemble.run_chunked); after each
-    device-resident chunk the kept cold chain is copied to host and
+    use [R].  ``rung_ln_like`` is the per-step ensemble-mean ln-likelihood
+    at every rung: averaged over production it is the thermodynamic-
+    integration integrand <ln L>_beta for :func:`log_evidence` — the
+    evidence comes free with the ladder.  Chunked with ON-DEVICE thinning
+    like the untempered ``run_sampler`` (see ensemble.run_chunked); after
+    each device-resident chunk the kept cold chain is copied to host and
     ``progress(done, accept)`` fires (wired to incremental chain writing
     and metrics by the CLI).
     """
@@ -205,9 +211,41 @@ def run_pt(state: PTState, ln_prior_fn, ln_like_fn, n_steps, a=2.0,
 
         _STEP_CACHE[key] = step_fn
 
-    state, chain, chain_lp, acc = run_chunked(
+    state, chain, chain_lp, aux = run_chunked(
         state, step_fn, n_steps, thin=thin, chunk_size=chunk_size,
         progress=progress, extract=_extract_cold)
-    if acc is None:
-        acc = np.empty((0,))
-    return state, chain, chain_lp, acc
+    if aux is None:
+        n_temps = state.betas.shape[0]
+        aux = (np.empty((0,)), np.empty((0, n_temps)))
+    return state, chain, chain_lp, aux[0], aux[1]
+
+
+def log_evidence(betas, mean_ln_like):
+    """Thermodynamic-integration evidence from the tempered ladder:
+    ln Z = integral_0^1 <ln L>_beta d beta  (Goggans & Chi 2004; emcee's
+    ``PTSampler.thermodynamic_integration_log_evidence`` is the
+    reference-family counterpart [R-med]).
+
+    ``mean_ln_like``: production-averaged ensemble-mean ln-likelihood per
+    rung (average ``run_pt``'s ``rung_ln_like`` over steps).  Trapezoid
+    over the ladder, extended to beta = 0 by constant extrapolation of
+    the hottest rung.  Returns (ln_z, dln_z) with the emcee-style error
+    estimate: |full-ladder - every-other-rung| integration difference.
+    """
+    betas = np.asarray(betas, np.float64)
+    f = np.asarray(mean_ln_like, np.float64)
+    order = np.argsort(betas)
+    b, f = betas[order], f[order]
+    if b[0] > 0.0:
+        b = np.concatenate([[0.0], b])
+        f = np.concatenate([f[:1], f])
+
+    def integ(bs, fs):
+        return float(np.trapezoid(fs, bs))
+
+    ln_z = integ(b, f)
+    # half-ladder comparison: drop every other interior rung
+    keep = np.ones(b.size, bool)
+    keep[1:-1:2] = False
+    dln_z = abs(ln_z - integ(b[keep], f[keep]))
+    return ln_z, dln_z

@@ -240,3 +240,8 @@ class TestPTCLI:
         assert np.isfinite(lnp).all()
         # notifier fired
         assert (out / "done.jsonl").exists()
+        # thermodynamic-integration evidence written from the ladder
+        import json
+        ev = json.loads((out / "evidence.json").read_text())
+        assert np.isfinite(ev["ln_evidence"])
+        assert len(ev["mean_ln_like_per_rung"]) == 3

@@ -37,9 +37,10 @@ class TestPT:
                         0.5 * jnp.ones(2), _prior, _bimodal_like,
                         n_walkers=16, n_temps=3)
         assert state.positions.shape == (3, 16, 2)
-        s2, acc = pt_step(state, _prior, _bimodal_like)
+        s2, (acc, rung_ll) = pt_step(state, _prior, _bimodal_like)
         assert int(s2.step) == 1
         assert 0.0 <= float(acc) <= 1.0
+        assert rung_ll.shape == (3,)
         assert bool(jnp.all(jnp.isfinite(s2.ln_like)))
         # ln_prior/ln_like bookkeeping stays consistent with positions
         ll = jax.vmap(jax.vmap(_bimodal_like))(s2.positions)
@@ -55,7 +56,8 @@ class TestPT:
                         _prior, _bimodal_like,
                         n_walkers=32, n_temps=5,
                         betas=jnp.asarray([1.0, 0.3, 0.1, 0.03, 0.01]))
-        state, chain, lp, acc = run_pt(state, _prior, _bimodal_like, 600)
+        state, chain, lp, acc, _ = run_pt(state, _prior, _bimodal_like,
+                                          600)
         flat = chain[200:].reshape(-1)
         frac_neg = float(np.mean(flat < 0))
         assert 0.15 < frac_neg < 0.85   # both modes populated
@@ -66,9 +68,10 @@ class TestPT:
                         jnp.ones(2), _prior, _bimodal_like,
                         n_walkers=16, n_temps=2)
         seen = []
-        state, chain, lp, acc = run_pt(
+        state, chain, lp, acc, rung_ll = run_pt(
             state, _prior, _bimodal_like, 40, thin=4, chunk_size=16,
             progress=lambda s, a: seen.append(s))
+        assert rung_ll.shape == (40, 2)
         assert chain.shape[0] == 10
         assert seen == [16, 32, 40]
 
@@ -134,3 +137,60 @@ class TestPTCheckpoint:
         s2, _ = pt_step(loaded, _prior, _bimodal_like)
         np.testing.assert_array_equal(
             np.asarray(s1.positions), np.asarray(s2.positions))
+
+
+class TestEvidence:
+    """Thermodynamic-integration evidence (sampling/pt.py log_evidence).
+
+    Conjugate-Gaussian ground truth: prior N(0, I_d), ln L = -|x|^2 /
+    (2 sigma^2).  The tempered posterior is N(0, v_b I) with
+    v_b = 1/(1 + b/sigma^2), the integrand <ln L>_b = -d v_b /
+    (2 sigma^2), and ln Z = -(d/2) ln(1 + 1/sigma^2) exactly.
+    """
+
+    D, SIGMA = 2, 1.0
+
+    def _ln_z_true(self):
+        return -0.5 * self.D * np.log(1.0 + 1.0 / self.SIGMA**2)
+
+    def _integrand(self, b):
+        v = 1.0 / (1.0 + b / self.SIGMA**2)
+        return -0.5 * self.D * v / self.SIGMA**2
+
+    def test_log_evidence_quadrature_exact_integrand(self):
+        from lfit_python_tpu.sampling.pt import log_evidence
+
+        betas = np.linspace(0.0, 1.0, 201)
+        ln_z, dln_z = log_evidence(betas, self._integrand(betas))
+        assert abs(ln_z - self._ln_z_true()) < 1e-4
+        assert dln_z < 1e-3
+
+    def test_log_evidence_extends_to_beta_zero(self):
+        from lfit_python_tpu.sampling.pt import log_evidence
+
+        # geometric ladder missing [0, beta_min): constant extension
+        betas = np.asarray([1.0, 0.5, 0.25, 0.125])
+        ln_z, _ = log_evidence(betas, self._integrand(betas))
+        # trapezoid + extension error only; generous bound
+        assert abs(ln_z - self._ln_z_true()) < 0.05
+
+    @pytest.mark.slow
+    def test_sampled_evidence_matches_analytic(self):
+        from lfit_python_tpu.sampling.pt import log_evidence
+
+        def prior(x):
+            return -0.5 * jnp.sum(x * x) \
+                - 0.5 * self.D * jnp.log(2.0 * jnp.pi)
+
+        def like(x):
+            return -0.5 * jnp.sum(x * x) / self.SIGMA**2
+
+        betas = jnp.asarray([1.0, 0.6, 0.35, 0.2, 0.1, 0.05, 0.02])
+        state = init_pt(jax.random.PRNGKey(3), jnp.zeros(self.D),
+                        jnp.ones(self.D), prior, like,
+                        n_walkers=64, n_temps=betas.size, betas=betas)
+        state, _, _, _, _ = run_pt(state, prior, like, 200)  # burn
+        state, chain, lp, acc, rung_ll = run_pt(state, prior, like, 400)
+        ln_z, dln_z = log_evidence(np.asarray(betas),
+                                   rung_ll.mean(axis=0))
+        assert abs(ln_z - self._ln_z_true()) < 0.06
