@@ -454,21 +454,35 @@ def _report(model, chain, lp, outdir, args):
     reporting, SURVEY.md §3.1 tail)."""
     import json as _json
 
-    from .utils.chains import gelman_rubin, save_arviz, summarize
+    from .utils.chains import (autocorr_time, gelman_rubin, save_arviz,
+                               summarize)
     from .utils.plotting import corner_plot, plot_eclipse
 
     if not len(chain):
         return
     save_arviz(chain, model.var_names(), outdir / "chains", log_prob=lp)
-    table = summarize(chain, model.var_names(), discard=len(chain) // 4)
+    discard = len(chain) // 4
+    table = summarize(chain, model.var_names(), discard=discard)
+    kept = chain[discard:]
+    if len(kept) >= 8:
+        # effective sample size from the integrated autocorrelation time
+        # (FFT windowed estimator): n_eff = steps * walkers / tau
+        tau = autocorr_time(kept)
+        n_tot = kept.shape[0] * kept.shape[1]
+        for row, t in zip(table, tau):
+            row["ess"] = float(n_tot / max(t, 1.0))
+            row["tau"] = float(t)
     with (outdir / "params.json").open("w") as fh:
         _json.dump(table, fh, indent=1)
     print(f"{'parameter':22s} {'median':>12s} {'+err':>10s} {'-err':>10s}")
     for row in table:
         print(f"{row['name']:22s} {row['median']:12.6g} "
               f"{row['upper']:10.3g} {row['lower']:10.3g}")
-    rhat = gelman_rubin(chain, discard=len(chain) // 4)
+    rhat = gelman_rubin(chain, discard=discard)
     print("max split-R-hat:", float(np.max(rhat)))
+    if len(kept) >= 8:
+        print("min effective sample size:",
+              round(min(r["ess"] for r in table)))
 
     best = chain.reshape(-1, model.n_var)[np.argmax(lp.reshape(-1))]
     full_best = model.full_from_var(best)
