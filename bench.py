@@ -56,10 +56,42 @@ def _measure(model, n_walkers, dtype, reps=10, retries=1):
             time.sleep(10.0)
 
 
+def _probe_backend_bounded(seconds=240):
+    """Probe JAX backend init in a SUBPROCESS with a hard deadline.
+
+    The axon TPU tunnel's claim loop retries forever when the chip is
+    held or the worker is down (observed: ``jax.devices()`` sleeping in
+    the grant-claim loop for 25+ minutes), and it blocks the main thread
+    in C, so an in-process ``signal.alarm`` never fires (measured).  A
+    subprocess can be killed from outside regardless; a hung bench would
+    otherwise block the driver's whole round-end pipeline.
+    """
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "jnp.ones((8, 8)).sum().block_until_ready()"],
+            timeout=seconds, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench.py: JAX backend probe exceeded {seconds}s — the TPU "
+            "tunnel is not answering (chip held by another session or "
+            "worker down).  Transient on this box; rerun bench.py.")
+    except subprocess.CalledProcessError as e:
+        raise SystemExit(
+            f"bench.py: JAX backend probe failed (rc={e.returncode}); "
+            "see stderr of a bare `python -c 'import jax; jax.devices()'`.")
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    _probe_backend_bounded()
     from lfit_python_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
     # x64-enabled process: XLA compiles a ~30% faster executable for the
