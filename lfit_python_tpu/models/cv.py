@@ -74,6 +74,26 @@ class CVConfig(NamedTuple):
     n_donor_lon: int = 24
     n_exposure_sub: int = 3      # finite-exposure phase subsamples
     ulimb_donor: float = 0.9
+    # donor-curve quadrature (fused posterior only): number of uniform
+    # intervals on the half period [0, 0.5] the per-walker donor element
+    # sum is evaluated on; each eclipse then interpolates (Catmull-Rom,
+    # C^1) instead of re-running the (phases x elements) sum.  Interp
+    # error at 256 nodes: 7e-6 of the DONOR flux (~2.5e-7 of a typical
+    # total — under the 1e-6 parity gate; tests/test_components.py
+    # TestDonorQuadrature).  DEFAULT OFF on this box: the 4-tap
+    # interpolation gathers execute ~2000x slower than their HLO
+    # warrants whenever the gather indices are COMPUTED IN-GRAPH from a
+    # broadcast (measured 105 ms vs 0.03 ms for byte-identical gather
+    # ops whose indices arrive as a jit input; optimization_barrier /
+    # bitcast laundering / top-level take_along_axis all do NOT help;
+    # the compiled HLO of fast and slow variants is near-identical, so
+    # this is a runtime pathology of the axon remote-TPU stack, not a
+    # compilation artifact — full bisect recorded in ROADMAP.md).  On a
+    # direct-attached TPU this knob is worth re-measuring: the node
+    # evaluation itself costs ~0.6 ms vs 7.7 ms for exact per-eclipse
+    # sums.  0 = exact per-phase sums (cv_fluxes called WITHOUT a
+    # precomputed donor_curve always uses exact sums regardless).
+    n_donor_quad: int = 0
     # mixed precision (SURVEY.md §7 hard-part 2): solve the per-walker
     # scalar geometry (xl1, findi) in f64 and re-evaluate the contact /
     # WD-shadow decision quantity c = Phi - Phi_L1 in f64 near the roots,
@@ -206,7 +226,8 @@ def _expand_exposure(phases, widths, n_sub):
 
 
 def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
-              geometry: CVGeometry | None = None, donor=None):
+              geometry: CVGeometry | None = None, donor=None,
+              donor_curve=None):
     """Evaluate the four-component CV model over a phase grid.
 
     ``pars``: (14,) or (18,) parameter vector (see module docstring);
@@ -216,6 +237,12 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
     physical-validity check by the fused posterior).  ``donor``: optional
     precomputed :class:`~.components.DonorGrid` — it depends only on the
     core q, so the hierarchical posterior builds it once for all eclipses.
+    ``donor_curve``: optional precomputed quadrature node values from
+    :func:`~.components.donor_curve_nodes` — the donor curve depends only
+    on core-node quantities, so the fused posterior evaluates the element
+    sum once per walker and each eclipse interpolates
+    (:func:`~.components.donor_curve_eval`).  None = exact per-phase
+    element sums (the golden/oracle path).
 
     Pure and jit/vmap-safe: batch over walkers with ``jax.vmap`` on ``pars``.
     Invalid geometry (non-eclipsing dphi for any inclination) yields NaNs,
@@ -330,16 +357,30 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
     yspot = sF * spot_curve * factor
 
     # ---- donor (smooth; never occulted) ---------------------------------
-    raw_sec = comp.donor_flux(incl, sub, dgrid, config.ulimb_donor)
-    quad = comp.donor_flux(
-        incl, jnp.asarray([0.25], dtype), dgrid, config.ulimb_donor)[0]
-    ysec = rsF * mean_over_sub(raw_sec / jnp.maximum(quad, 1e-30))
+    # Exposure smearing via the bin CENTRE, not subsamples: the donor
+    # curve is globally smooth (harmonic content ~k<=3), so the midpoint
+    # differs from the exposure mean by F'' w^2 / 24 ~ (2pi)^2 w^2 / 24
+    # of the modulation amplitude — < 2e-7 relative even at w = 0.01
+    # cycles, far under the 1e-6 parity gate.  Subdividing it 3x was
+    # pure waste (WD keeps subsampling: its ingress is sharp at the
+    # exposure scale).
+    if donor_curve is not None:
+        raw_sec = comp.donor_curve_eval(donor_curve, ph)
+        quad = comp.donor_curve_eval(
+            donor_curve, jnp.asarray([0.25], dtype))[0]
+    else:
+        raw_sec = comp.donor_flux(incl, ph, dgrid, config.ulimb_donor)
+        quad = comp.donor_flux(
+            incl, jnp.asarray([0.25], dtype), dgrid, config.ulimb_donor)[0]
+    ysec = rsF * raw_sec / jnp.maximum(quad, 1e-30)
 
     total = ywd + ydisc + yspot + ysec
     return CVFluxes(total, ywd, ydisc, yspot, ysec)
 
 
 def cv_total_flux(pars, phases, widths=None, config: CVConfig = CVConfig(),
-                  geometry: CVGeometry | None = None, donor=None):
+                  geometry: CVGeometry | None = None, donor=None,
+                  donor_curve=None):
     """Total model flux only (the likelihood hot path)."""
-    return cv_fluxes(pars, phases, widths, config, geometry, donor).total
+    return cv_fluxes(pars, phases, widths, config, geometry, donor,
+                     donor_curve).total

@@ -169,6 +169,16 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
     data = _to_device_data(model, dtype)
     prior_table = model.prior_table
     use_gp = jnp.asarray(model.gp_mask)
+    # Static (host-known) fact: 3-column data has no exposure widths —
+    # the stacked width array is all zeros.  Passing widths=None lets
+    # cv_fluxes skip the n_exposure_sub phase subdivision entirely
+    # (identical results: zero-width subsamples coincide with the bin
+    # centre), a ~3x saving on every smooth per-phase component.
+    import numpy as _np
+    _no_widths = not _np.any(model.data_width)
+
+    def _width_of(k):
+        return None if _no_widths else data.width[k]
 
     def ln_prior(var_vec):
         full = model.full_from_var(var_vec.astype(dtype))
@@ -179,7 +189,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
 
     def ln_like(var_vec):
         from ..roche.stream import stream_impacts
-        from .components import donor_grid
+        from .components import donor_curve_nodes, donor_grid
         from .cv import cv_geometry, core_precise
 
         full = model.full_from_var(var_vec.astype(dtype))
@@ -193,12 +203,16 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
+        dcurve = (donor_curve_nodes(incl, dgrid, config.ulimb_donor,
+                                    config.n_donor_quad)
+                  if config.n_donor_quad else None)
         core = (x1, pl1, incl, None, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
             geom = cv_geometry(pars, config, core=core, impact=impacts[k])
-            mflux = cv_total_flux(pars, data.phase[k], data.width[k],
-                                  config, geometry=geom, donor=dgrid)
+            mflux = cv_total_flux(pars, data.phase[k], _width_of(k),
+                                  config, geometry=geom, donor=dgrid,
+                                  donor_curve=dcurve)
             if gp_ln_like is None:
                 return _chi2_ln_like(mflux, data, k)
             gp_pars = full[data.gp_idx[k]]
@@ -229,7 +243,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         ~11 ms of the north-star posterior, the carry-only one ~1 ms.
         """
         from ..roche.stream import stream_impacts
-        from .components import donor_grid
+        from .components import donor_curve_nodes, donor_grid
         from .cv import cv_geometry, cv_physical_ok, core_precise
 
         full = model.full_from_var(var_vec.astype(dtype))
@@ -243,13 +257,21 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
+        # donor curve hoisted out of the per-eclipse vmap: it depends only
+        # on core-node quantities (incl, the lobe grid), so the element
+        # sum runs once per walker on the quadrature nodes and each
+        # eclipse interpolates (components.donor_curve_nodes docstring)
+        dcurve = (donor_curve_nodes(incl, dgrid, config.ulimb_donor,
+                                    config.n_donor_quad)
+                  if config.n_donor_quad else None)
         core = (x1, pl1, incl, None, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
             geom = cv_geometry(pars, config, core=core, impact=impacts[k])
             ok = cv_physical_ok(pars, geom)
-            mflux = cv_total_flux(pars, data.phase[k], data.width[k],
-                                  config, geometry=geom, donor=dgrid)
+            mflux = cv_total_flux(pars, data.phase[k], _width_of(k),
+                                  config, geometry=geom, donor=dgrid,
+                                  donor_curve=dcurve)
             if gp_ln_like is None:
                 ll = _chi2_ln_like(mflux, data, k)
             else:

@@ -154,6 +154,65 @@ class TestDonor:
         assert 0.5 * sphere < a.sum() < 2.0 * sphere
 
 
+class TestDonorQuadrature:
+    """The fused posterior's donor-curve quadrature + Catmull-Rom
+    interpolation (components.donor_curve_nodes/donor_curve_eval) against
+    exact per-phase element sums — interp error must sit an order under
+    the 1e-6 relative-flux parity gate at the default n_quad."""
+
+    @pytest.mark.parametrize("q,incl_off", [(0.08, 0.0), (0.15, 0.0),
+                                            (0.5, -3.0), (1.5, 2.0)])
+    def test_interp_matches_exact(self, q, incl_off):
+        # The donor curve has a derivative kink at every element's
+        # terminator crossing, so interpolation converges ~h^1.5, not
+        # h^4; at the default n_quad = 256 the error must stay ~1e-5 of
+        # the donor flux (=> ~3e-7 of a typical total flux, under the
+        # 1e-6 parity gate; see CVConfig.n_donor_quad).
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, DPHI, x1, pl1) + incl_off
+        grid = comp.donor_grid(q, x1, pl1)          # full default resolution
+        ph = jnp.asarray(np.linspace(-0.7, 1.3, 1501))   # incl. wraps
+        exact = np.asarray(comp.donor_flux(incl, ph, grid))
+        nodes = comp.donor_curve_nodes(incl, grid, 0.9, 256)
+        approx = np.asarray(comp.donor_curve_eval(nodes, ph))
+        err = np.abs(approx - exact) / exact.max()
+        assert err.max() < 1.2e-5, f"donor interp error {err.max():.2e}"
+        # and it must keep converging with node count (kink-limited rate)
+        nodes2 = comp.donor_curve_nodes(incl, grid, 0.9, 1024)
+        err2 = np.abs(np.asarray(comp.donor_curve_eval(nodes2, ph))
+                      - exact) / exact.max()
+        assert err2.max() < 0.4 * err.max()
+
+    def test_symmetry_fold(self, geom):
+        x1, pl1, incl = geom
+        grid = comp.donor_grid(Q, x1, pl1)
+        # the half-period quadrature assumes F is even and periodic
+        ph = jnp.asarray([0.1, -0.1, 0.9, 1.1, 0.37, -0.37])
+        exact = np.asarray(comp.donor_flux(incl, ph, grid))
+        assert exact[0] == pytest.approx(exact[1], rel=1e-12)
+        assert exact[0] == pytest.approx(exact[2], rel=1e-12)
+        assert exact[0] == pytest.approx(exact[3], rel=1e-12)
+        assert exact[4] == pytest.approx(exact[5], rel=1e-12)
+
+    def test_gradient_flows(self, geom):
+        x1, pl1, incl = geom
+
+        def f(qv, ph):
+            x1v = xl1(qv)
+            pl1v = l1_potential(qv, x1v)
+            grid = comp.donor_grid(qv, x1v, pl1v, 8, 12)
+            nodes = comp.donor_curve_nodes(incl, grid, 0.9, 32)
+            return comp.donor_curve_eval(nodes, ph)
+
+        g = jax.grad(lambda qv: f(qv, jnp.asarray(0.03)))(jnp.asarray(Q))
+        assert np.isfinite(float(g))
+        eps = 1e-6
+        fd = (float(f(jnp.asarray(Q + eps), jnp.asarray(0.03)))
+              - float(f(jnp.asarray(Q - eps), jnp.asarray(0.03)))) / (2 * eps)
+        assert float(g) == pytest.approx(fd, rel=1e-4, abs=1e-8)
+
+
 class TestIntervalFastPath:
     """Cross-validation: interval-based visibility (fast path) must agree
     with the direct per-phase blink sweep (oracle path)."""

@@ -1,0 +1,131 @@
+"""Marginal stage costs INSIDE the fused north-star posterior.
+
+tools/profile_posterior.py times each stage standalone, but stages fuse
+and overlap once embedded, so standalone numbers do not compose into the
+posterior's wall time.  This tool measures the posterior with one stage
+at a time replaced by a shape-compatible constant (monkeypatched before
+trace time, so XLA dead-code-eliminates the ablated stage): the delta vs
+the full posterior is that stage's true marginal cost.
+
+Ablations:
+  full        the real posterior (reference point)
+  no_wd       wd_flux -> ones          (origin shadow-distance sweep)
+  no_contacts contact solver -> fixed intervals (Pallas/XLA edge solve)
+  no_curve    element_flux_curve -> ones (removes contacts + reduction)
+  no_donor    donor_flux -> ones       (keeps donor_grid root-find)
+  no_dgrid    donor_grid -> unit grid  (also removes the grid solve)
+  geometry    all of the above at once (tree/prior/geometry floor)
+"""
+
+import contextlib
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _measure(model, dtype, n_walkers=1024, reps=20):
+    import jax
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.models.likelihood import make_ln_prob
+
+    ln_prob = make_ln_prob(model, dtype=dtype)
+    fn = jax.jit(jax.vmap(ln_prob))
+    start = np.asarray(model.var_start(), np.float32)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(
+        start[None, :] + 0.001 * np.abs(start)[None, :]
+        * rng.standard_normal((n_walkers, start.size)), dtype)
+    fn(pos).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(pos)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / reps
+
+
+@contextlib.contextmanager
+def patched(**which):
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.models import components as comp
+    from lfit_python_tpu.ops import pallas_contacts as pc
+
+    saved = {}
+
+    def put(mod, name, fn):
+        saved[(mod, name)] = getattr(mod, name)
+        setattr(mod, name, fn)
+
+    if which.get("wd"):
+        put(comp, "wd_flux",
+            lambda q, incl, phases, *a, **k: jnp.ones_like(phases))
+    if which.get("contacts"):
+        def fake_op(q, incl, px, py, x1, pl1):
+            return (jnp.full_like(px, -0.01), jnp.full_like(px, 0.01),
+                    jnp.ones(px.shape, bool))
+        put(pc, "contacts_op_diff", fake_op)
+        put(comp, "element_intervals",
+            lambda q, incl, pos, x1, pl1, **k: (
+                jnp.full(pos.shape[:-1], -0.01, pos.dtype),
+                jnp.full(pos.shape[:-1], 0.01, pos.dtype),
+                jnp.ones(pos.shape[:-1], bool)))
+    if which.get("curve"):
+        put(comp, "element_flux_curve",
+            lambda phases, widths, intervals, weights: jnp.ones_like(phases))
+    if which.get("donor"):
+        put(comp, "donor_flux",
+            lambda incl, phases, grid, ulimb=0.9: jnp.ones_like(phases))
+    if which.get("dgrid"):
+        def fake_grid(q, x1, pl1, n_lat=16, n_lon=24, dtype=jnp.float64):
+            n = n_lat * n_lon
+            one = jnp.ones((n, 3), dtype) * (1.0 + 0.0 * q)
+            return comp.DonorGrid(one, one, jnp.ones((n,), dtype))
+        put(comp, "donor_grid", fake_grid)
+    try:
+        yield
+    finally:
+        for (mod, name), fn in saved.items():
+            setattr(mod, name, fn)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    from lfit_python_tpu.examples import build_model
+
+    print("devices:", jax.devices())
+    model = build_model(n_eclipses=5, complex_spot=[False] * 5,
+                        n_points=128, bands=("g", "r")).compile()
+    dtype = jnp.float32
+
+    cases = [
+        ("full", {}),
+        ("no_wd", {"wd": True}),
+        ("no_contacts", {"contacts": True}),
+        ("no_curve", {"curve": True, "contacts": True}),
+        ("no_donor", {"donor": True}),
+        ("no_dgrid", {"donor": True, "dgrid": True}),
+        ("geometry", {"wd": True, "contacts": True, "curve": True,
+                      "donor": True, "dgrid": True}),
+    ]
+    base = None
+    for name, kw in cases:
+        with patched(**kw):
+            dt = _measure(model, dtype)
+        if name == "full":
+            base = dt
+        delta = "" if base is None or name == "full" else \
+            f"  (marginal {1e3 * (base - dt):6.2f} ms)"
+        print(f"{name:12s} {1e3 * dt:8.2f} ms{delta}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
