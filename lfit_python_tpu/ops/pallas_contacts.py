@@ -39,7 +39,8 @@ LANE = 1024          # elements per row (padded); 8 x (8, 128) vregs
 _W_BLOCK = 8         # walkers per program (sublane dimension)
 
 _EDGE_ITERS = 8          # kept in lockstep with geometry._EDGE_ITERS
-_T_NEWTON = 3
+_T_NEWTON = 3            # seed solve (conjunction test) only
+_T_WARM = 2              # lockstep with geometry._EDGE_T_WARM
 _CLEAR_VISIBLE = 10.0
 
 
@@ -63,6 +64,10 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
     ww = wx * wx + wy * wy
     c1 = px * px + py * py
     two_pi = 6.283185307179586
+    # hoisted for the edge loop's cheap endpoint insurance (lockstep
+    # with geometry.contact_interval)
+    inv_rad = 1.0 / rad
+    i2_p = jax.lax.rsqrt(ww)
 
     def t_minimum(ex, ey):
         tstar = wx * ex + wy * ey
@@ -106,18 +111,6 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
         c = jnp.where(no_occ, _CLEAR_VISIBLE, val - pl1)
         return t, c, no_occ
 
-    def dc_dphi(t, ex, ey):
-        rx = px + t * ex
-        ry = py + t * ey
-        rz = t * ci
-        i1 = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
-        dx = rx - 1.0
-        i2 = jax.lax.rsqrt(dx * dx + ry * ry + rz * rz)
-        i13, i23 = i1 * i1 * i1, i2 * i2 * i2
-        gx = (1.0 - mu) * rx * i13 + mu * dx * i23 - (rx - mu)
-        gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
-        return t * two_pi * (gx * ey - gy * ex)
-
     def earth_xy(phase):
         th = two_pi * phase
         return si * jnp.cos(th), -si * jnp.sin(th)
@@ -134,28 +127,103 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
         phi0 = 0.5 * (lo + hi)
 
         def body(_, carry):
-            phi, lo, hi, phi_best, c_best = carry
+            # warm-started edge iteration, lockstep with
+            # geometry.contact_interval's make_body: the ray-minimum t is
+            # carried across phi iterates, clipped into the new sphere
+            # chord, polished with _T_WARM well-guarded clamped Newton
+            # steps; one fused i1/i2 pair then serves the clearance
+            # value, the endpoint insurance, and the envelope derivative
+            phi, lo, hi, phi_best, c_best, t = carry
             ex, ey = earth_xy(phi)
-            t, c, no_occ = t_minimum(ex, ey)
+            tstar = wx * ex + wy * ey
+            disc = rad * rad - (ww - tstar * tstar)
+            half = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_lo = jnp.maximum(tstar - half, 0.0)
+            t_hi = jnp.maximum(tstar + half, 0.0)
+            no_occ = disc <= 0.0
+            b1 = px * ex + py * ey
+            b2 = b1 - ex
+            t = jnp.clip(t, t_lo, t_hi)
+            t_mid = jnp.clip(tstar, t_lo, t_hi)
+
+            def newton(t, fallback):
+                i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+                i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + ww)
+                u1, u2 = t + b1, t + b2
+                i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+                cx = px - mu + t * ex
+                cy = py + t * ey
+                g1 = ((1.0 - mu) * u1 * i13 + mu * u2 * i23
+                      - (cx * ex + cy * ey))
+                g2 = ((1.0 - mu) * (i13 - 3.0 * u1 * u1 * i13 * i1 * i1)
+                      + mu * (i23 - 3.0 * u2 * u2 * i23 * i2 * i2)
+                      - (ex * ex + ey * ey))
+                t_new = jnp.clip(
+                    t - g1 / jnp.maximum(g2, 1e-12), t_lo, t_hi)
+                return jnp.where(g2 > 1e-12, t_new, fallback)
+
+            # first step well-guarded: a stale carried t in a concave
+            # region (g2 <= 0) restarts from the chord midpoint
+            t = newton(t, t_mid)
+            for _ in range(_T_WARM - 1):
+                t = newton(t, t)
+            i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+            i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + ww)
+            cx = px - mu + t * ex
+            cy = py + t * ey
+            val = -(1.0 - mu) * i1 - mu * i2 - 0.5 * (cx * cx + cy * cy)
+            # endpoint insurance via the on-sphere identity (donor term
+            # at an unclipped chord endpoint is exactly -mu/rad)
+            i1_lo = jax.lax.rsqrt(t_lo * t_lo + 2.0 * b1 * t_lo + c1)
+            i2_lo = jnp.where(tstar - half > 0.0, inv_rad, i2_p)
+            cx_lo = px - mu + t_lo * ex
+            cy_lo = py + t_lo * ey
+            v_lo = (-(1.0 - mu) * i1_lo - mu * i2_lo
+                    - 0.5 * (cx_lo * cx_lo + cy_lo * cy_lo))
+            i1_hi = jax.lax.rsqrt(t_hi * t_hi + 2.0 * b1 * t_hi + c1)
+            i2_hi = jnp.where(tstar + half > 0.0, inv_rad, i2_p)
+            cx_hi = px - mu + t_hi * ex
+            cy_hi = py + t_hi * ey
+            v_hi = (-(1.0 - mu) * i1_hi - mu * i2_hi
+                    - 0.5 * (cx_hi * cx_hi + cy_hi * cy_hi))
+            pick_lo = v_lo < val
+            t = jnp.where(pick_lo, t_lo, t)
+            i1 = jnp.where(pick_lo, i1_lo, i1)
+            i2 = jnp.where(pick_lo, i2_lo, i2)
+            val = jnp.minimum(val, v_lo)
+            pick_hi = v_hi < val
+            t = jnp.where(pick_hi, t_hi, t)
+            i1 = jnp.where(pick_hi, i1_hi, i1)
+            i2 = jnp.where(pick_hi, i2_hi, i2)
+            val = jnp.minimum(val, v_hi)
+            c = jnp.where(no_occ, _CLEAR_VISIBLE, val - pl1)
             better = jnp.abs(c) < c_best
             phi_best = jnp.where(better, phi, phi_best)
             c_best = jnp.where(better, jnp.abs(c), c_best)
             lo = jnp.where(c < 0.0, phi, lo)
             hi = jnp.where(c < 0.0, hi, phi)
-            d = dc_dphi(t, ex, ey)
+            rx = px + t * ex
+            ry = py + t * ey
+            i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+            gx = ((1.0 - mu) * rx * i13 + mu * (rx - 1.0) * i23
+                  - (rx - mu))
+            gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+            d = t * two_pi * (gx * ey - gy * ex)
             phi_newton = phi - c / jnp.where(
                 jnp.abs(d) > 1e-12, d, jnp.inf)
             inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
             ok = inside & jnp.isfinite(phi_newton) & ~no_occ
             phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-            return phi, lo, hi, phi_best, c_best
+            return phi, lo, hi, phi_best, c_best, t
 
         big = jnp.full_like(phi0, jnp.inf)
+        ex0, ey0 = earth_xy(phi0)
+        t_init = wx * ex0 + wy * ey0
         # i32 bounds: under x64 a Python-int fori_loop counter becomes
         # i64, which Mosaic cannot legalize
         carry = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(_EDGE_ITERS), body,
-            (phi0, lo, hi, phi0, big))
+            (phi0, lo, hi, phi0, big, t_init))
         return carry[3]
 
     pin_ref[...] = jnp.where(eclipsed, edge(-1.0), phi_c)

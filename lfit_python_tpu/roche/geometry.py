@@ -498,7 +498,16 @@ def origin_shadow_distance(q, incl_deg, phases, xl1_val, phi_l1,
 # q in [0.05, 1.05] x incl in [80, 89.5] x 200-element clouds, 8 iters
 # give f32 max error 7e-7 cycles (identical to 12) and f64 max 1.3e-15
 _EDGE_ITERS = 8
-_EDGE_T_NEWTON = 3       # clamped Newton steps for the ray minimum
+_EDGE_T_NEWTON = 3       # clamped Newton steps for the ray minimum (seed)
+# warm-started edge loop (round 3): inside the envelope-Newton iteration
+# the ray-minimum t is carried across phi iterates (the minimum moves
+# continuously with phi), so each iteration needs only _EDGE_T_WARM
+# clamped Newton polish steps instead of the full midpoint-seeded
+# _EDGE_T_NEWTON solve + 2 endpoint-insurance evaluations.  By the
+# envelope theorem the clearance c is second-order insensitive to t
+# error, so the cheaper inner solve does not move the root (measured vs
+# the f64 oracle: error tail unchanged, tools/accuracy_contacts.py)
+_EDGE_T_WARM = 2
 # mixed-precision split: the first iterations run entirely in f32; the
 # last _EDGE_ITERS_F64 re-evaluate the decision quantity c in f64 (f64 is
 # ~30x f32 on TPU via emulation, so the budget is spent only where the
@@ -635,6 +644,11 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
     c1 = px * px + py * py           # |p|^2
     c2n = ww                         # |p - c2|^2 (same, z = 0)
     two_pi = 2.0 * jnp.pi
+    # hoisted for the edge loop's cheap endpoint insurance (on-sphere
+    # identity): donor term at an unclipped chord endpoint is -mu/rad,
+    # at a clipped (t = 0) endpoint it is -mu * rsqrt(|p - c2|^2)
+    inv_rad = 1.0 / rad
+    i2_p = jax.lax.rsqrt(c2n)
 
     # conjunction phase of p: observer azimuth aligned with p -> donor
     phi_c = jnp.arctan2(py, 1.0 - px) / two_pi
@@ -781,10 +795,82 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
 
         def make_body(use_f64):
             def body(_, carry):
-                phi, lo, hi, phi_best, c_best = carry
+                phi, lo, hi, phi_best, c_best, t = carry
                 ex, ey = earth_xy(phi)
-                t, c, no_occ = t_minimum(
-                    ex, ey, phi=phi if use_f64 else None)
+                # warm-started ray minimum: the carried t is clipped into
+                # the new sphere chord and polished with _EDGE_T_WARM
+                # clamped Newton steps (see the constant's comment)
+                tstar = wx * ex + wy * ey
+                disc = rad * rad - (ww - tstar * tstar)
+                half = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t_lo = jnp.maximum(tstar - half, 0.0)
+                t_hi = jnp.maximum(tstar + half, 0.0)
+                no_occ = disc <= 0.0
+                b1 = px * ex + py * ey
+                b2 = b1 - ex
+                t = jnp.clip(t, t_lo, t_hi)
+                t_mid = jnp.clip(tstar, t_lo, t_hi)
+                # first step carries a well-guard: if the carried t has
+                # drifted into a concave region (g2 <= 0, outside the
+                # donor's well, where a clamped Newton step stalls),
+                # restart from the chord midpoint — the well's centre —
+                # instead (without this, a stale t can stall on a
+                # shoulder, overestimate the clearance, and poison the
+                # phi bracket with a wrong sign: measured max error
+                # 9e-3 cycles vs 6e-6 with the guard)
+                _, g1, g2 = g_derivs(t, ex, ey, b1, b2)
+                t = jnp.where(
+                    g2 > 1e-12,
+                    jnp.clip(t - g1 / jnp.maximum(g2, 1e-12), t_lo, t_hi),
+                    t_mid)
+                for _ in range(_EDGE_T_WARM - 1):
+                    _, g1, g2 = g_derivs(t, ex, ey, b1, b2)
+                    step = jnp.where(
+                        g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
+                    t = jnp.clip(t - step, t_lo, t_hi)
+                # fused clearance + endpoint insurance + envelope
+                # derivative.  One i1/i2 pair at the final t serves both
+                # the value and grad(Phi) (the chord form
+                # t^2 + 2 b t + |p|^2 equals |p + t e|^2).  Endpoint
+                # insurance (the minimum may ride a chord end near a
+                # graze) is cheap via the on-sphere identity: chord
+                # endpoints lie ON the enclosing sphere, so the donor
+                # term there is exactly -mu/rad — no rsqrt; clipped
+                # endpoints (t = 0) fall back to the hoisted rsqrt of
+                # the element's own donor distance.
+                i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+                i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + c2n)
+                cx = px - mu + t * ex
+                cy = py + t * ey
+                val = (-(1.0 - mu) * i1 - mu * i2
+                       - 0.5 * (cx * cx + cy * cy))
+                i1_lo = jax.lax.rsqrt(t_lo * t_lo + 2.0 * b1 * t_lo + c1)
+                i2_lo = jnp.where(tstar - half > 0.0, inv_rad, i2_p)
+                cx_lo = px - mu + t_lo * ex
+                cy_lo = py + t_lo * ey
+                v_lo = (-(1.0 - mu) * i1_lo - mu * i2_lo
+                        - 0.5 * (cx_lo * cx_lo + cy_lo * cy_lo))
+                i1_hi = jax.lax.rsqrt(t_hi * t_hi + 2.0 * b1 * t_hi + c1)
+                i2_hi = jnp.where(tstar + half > 0.0, inv_rad, i2_p)
+                cx_hi = px - mu + t_hi * ex
+                cy_hi = py + t_hi * ey
+                v_hi = (-(1.0 - mu) * i1_hi - mu * i2_hi
+                        - 0.5 * (cx_hi * cx_hi + cy_hi * cy_hi))
+                pick_lo = v_lo < val
+                t = jnp.where(pick_lo, t_lo, t)
+                i1 = jnp.where(pick_lo, i1_lo, i1)
+                i2 = jnp.where(pick_lo, i2_lo, i2)
+                val = jnp.minimum(val, v_lo)
+                pick_hi = v_hi < val
+                t = jnp.where(pick_hi, t_hi, t)
+                i1 = jnp.where(pick_hi, i1_hi, i1)
+                i2 = jnp.where(pick_hi, i2_hi, i2)
+                val = jnp.minimum(val, v_hi)
+                if use_f64 and c_refined is not None:
+                    c = jnp.where(no_occ, _CLEAR_VISIBLE,
+                                  c_refined(t, phi).astype(dtype))
+                else:
+                    c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
                 # track the best EVALUATED point: |c| smallest.  Neither
                 # the bracket midpoint (can sit half a bracket off under
                 # one-sided Newton convergence) nor the last proposed
@@ -796,20 +882,33 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
                 # update the bracket (lo stays eclipsed, hi stays visible)
                 lo = jnp.where(c < 0.0, phi, lo)
                 hi = jnp.where(c < 0.0, hi, phi)
-                d = dc_dphi(t, phi, ex, ey)
+                # envelope derivative dc/dphi = grad(Phi) . t de/dphi from
+                # the same i1/i2
+                rx = px + t * ex
+                ry = py + t * ey
+                i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+                gx = ((1.0 - mu) * rx * i13 + mu * (rx - 1.0) * i23
+                      - (rx - mu))
+                gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+                d = t * two_pi * (gx * ey - gy * ex)
                 phi_newton = phi - c / jnp.where(
                     jnp.abs(d) > 1e-12, d, jnp.inf)
                 inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
                 ok = inside & jnp.isfinite(phi_newton) & ~no_occ
                 phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-                return phi, lo, hi, phi_best, c_best
+                return phi, lo, hi, phi_best, c_best, t
             return body
 
         # NB: measured on v5e — lax.fori_loop beats a fully unrolled body
         # here (4.5-5 vs 6.0 ms at 1024 walkers x 992 elements); the
         # unrolled straight-line version spills
         big = jnp.asarray(jnp.inf, dtype)
-        carry = (phi0, lo, hi, phi0, big)
+        # seed the warm t with the chord midpoint (closest approach to
+        # the donor centre) at phi0; the first body iteration clips it
+        # into its bracket before polishing
+        ex0, ey0 = earth_xy(phi0)
+        t_init = wx * ex0 + wy * ey0
+        carry = (phi0, lo, hi, phi0, big, t_init)
         if c_refined is None:
             carry = jax.lax.fori_loop(
                 0, _EDGE_ITERS, make_body(False), carry)
