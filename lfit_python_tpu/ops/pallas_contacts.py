@@ -44,8 +44,8 @@ _T_WARM = 2              # lockstep with geometry._EDGE_T_WARM
 _CLEAR_VISIBLE = 10.0
 
 
-def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
-            pin_ref, pout_ref, ecl_ref):
+def _kernel(scal_ref, px_ref, py_ref, wins_ref, wmax_ref,
+            win_ref, wout_ref, ecl_ref):
     # per-walker scalars, broadcast down the lane axis
     mu = scal_ref[:, 0:1]
     si = scal_ref[:, 1:2]
@@ -55,9 +55,8 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
 
     px = px_ref[...]
     py = py_ref[...]
-    phi_c = phic_ref[...]
-    dphi_s = dphis_ref[...]
-    dphi_i = dphii_ref[...]
+    w_inscr = wins_ref[...]
+    w_sphere = wmax_ref[...]
 
     wx = 1.0 - px
     wy = -py
@@ -68,6 +67,11 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
     # with geometry.contact_interval)
     inv_rad = 1.0 / rad
     i2_p = jax.lax.rsqrt(ww)
+    # conjunction direction without trig: (cos, sin)(theta_c) =
+    # (wx, py)/|w|, so e(phi_c) = (e_A, -e_B, ci)
+    iw = jax.lax.rsqrt(ww)
+    e_A = si * wx * iw
+    e_B = si * py * iw
 
     def t_minimum(ex, ey):
         tstar = wx * ex + wy * ey
@@ -111,30 +115,39 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
         c = jnp.where(no_occ, _CLEAR_VISIBLE, val - pl1)
         return t, c, no_occ
 
-    def earth_xy(phase):
-        th = two_pi * phase
-        return si * jnp.cos(th), -si * jnp.sin(th)
-
-    ex_c, ey_c = earth_xy(phi_c)
-    _, c_mid, _ = t_minimum(ex_c, ey_c)
+    _, c_mid, _ = t_minimum(e_A, -e_B)
     eclipsed = c_mid < 0.0
 
     def edge(sign):
-        # two-sided sphere bracket (round 3): inscribed-sphere hit =
-        # certified eclipsed end, enclosing-sphere miss = visible end
-        lo = phi_c + sign * dphi_i
-        hi = phi_c + sign * dphi_s
-        phi0 = 0.5 * (lo + hi)
+        # two-sided sphere bracket in the omega = tan(theta/2)
+        # half-angle domain, lockstep with geometry.contact_interval:
+        # inscribed-sphere hit = certified eclipsed end,
+        # enclosing-sphere miss = visible end.  The Weierstrass
+        # parametrization makes the per-iterate observer direction
+        # rational in omega — the 16 edge iterations spend no sin/cos;
+        # the wrapper converts the returned omega root to a phase with
+        # one arctan per edge (outside the kernel).
+        lo = w_inscr
+        hi = w_sphere
+        w0 = 0.5 * (lo + hi)
+
+        def e_of(w):
+            den = 1.0 / (1.0 + w * w)
+            cd = (1.0 - w * w) * den
+            sd = (2.0 * w) * den
+            ex = e_A * cd - sign * e_B * sd
+            ey = -(e_B * cd + sign * e_A * sd)
+            return ex, ey, den
 
         def body(_, carry):
             # warm-started edge iteration, lockstep with
-            # geometry.contact_interval's make_body: the ray-minimum t is
-            # carried across phi iterates, clipped into the new sphere
+            # geometry.contact_interval's body: the ray-minimum t is
+            # carried across omega iterates, clipped into the new sphere
             # chord, polished with _T_WARM well-guarded clamped Newton
             # steps; one fused i1/i2 pair then serves the clearance
             # value, the endpoint insurance, and the envelope derivative
-            phi, lo, hi, phi_best, c_best, t = carry
-            ex, ey = earth_xy(phi)
+            w, lo, hi, w_best, c_best, t = carry
+            ex, ey, den = e_of(w)
             tstar = wx * ex + wy * ey
             disc = rad * rad - (ww - tstar * tstar)
             half = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -198,10 +211,12 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
             val = jnp.minimum(val, v_hi)
             c = jnp.where(no_occ, _CLEAR_VISIBLE, val - pl1)
             better = jnp.abs(c) < c_best
-            phi_best = jnp.where(better, phi, phi_best)
+            w_best = jnp.where(better, w, w_best)
             c_best = jnp.where(better, jnp.abs(c), c_best)
-            lo = jnp.where(c < 0.0, phi, lo)
-            hi = jnp.where(c < 0.0, hi, phi)
+            lo = jnp.where(c < 0.0, w, lo)
+            hi = jnp.where(c < 0.0, hi, w)
+            # envelope derivative dc/dphi, converted to dc/dw by
+            # sign * den / pi
             rx = px + t * ex
             ry = py + t * ey
             i13, i23 = i1 * i1 * i1, i2 * i2 * i2
@@ -209,25 +224,25 @@ def _kernel(scal_ref, px_ref, py_ref, phic_ref, dphis_ref, dphii_ref,
                   - (rx - mu))
             gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
             d = t * two_pi * (gx * ey - gy * ex)
-            phi_newton = phi - c / jnp.where(
-                jnp.abs(d) > 1e-12, d, jnp.inf)
-            inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
-            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-            phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-            return phi, lo, hi, phi_best, c_best, t
+            w_newton = w - (c * jnp.pi) / jnp.where(
+                jnp.abs(d) > 1e-12, sign * den * d, jnp.inf)
+            inside = (w_newton - lo) * (w_newton - hi) < 0.0
+            ok = inside & jnp.isfinite(w_newton) & ~no_occ
+            w = jnp.where(ok, w_newton, 0.5 * (lo + hi))
+            return w, lo, hi, w_best, c_best, t
 
-        big = jnp.full_like(phi0, jnp.inf)
-        ex0, ey0 = earth_xy(phi0)
+        big = jnp.full_like(w0, jnp.inf)
+        ex0, ey0, _ = e_of(w0)
         t_init = wx * ex0 + wy * ey0
         # i32 bounds: under x64 a Python-int fori_loop counter becomes
         # i64, which Mosaic cannot legalize
         carry = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(_EDGE_ITERS), body,
-            (phi0, lo, hi, phi0, big, t_init))
+            (w0, lo, hi, w0, big, t_init))
         return carry[3]
 
-    pin_ref[...] = jnp.where(eclipsed, edge(-1.0), phi_c)
-    pout_ref[...] = jnp.where(eclipsed, edge(+1.0), phi_c)
+    win_ref[...] = jnp.where(eclipsed, edge(-1.0), 0.0)
+    wout_ref[...] = jnp.where(eclipsed, edge(+1.0), 0.0)
     ecl_ref[...] = eclipsed.astype(jnp.float32)
 
 
@@ -277,10 +292,13 @@ def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
         scal = scal.at[W:, 1].set(1.0)
         scal = scal.at[W:, 3].set(0.4)
 
-    # inverse-trig setup outside the kernel (XLA): conjunction phase and
-    # the two-sided sphere-bracket half-angles (enclosing sphere ->
-    # certain-visible end; inscribed sphere -> certain-eclipsed end,
-    # mirroring geometry.contact_interval's round-3 bracket)
+    # setup outside the kernel (XLA): conjunction phase (the only
+    # arctan2) and the two-sided sphere bracket in the
+    # omega = tan(theta/2) half-angle domain — tan(theta/2) =
+    # sqrt((1 - cos)/(1 + cos)) directly from the closed-form cosines,
+    # no arccos (enclosing sphere -> certain-visible end; inscribed
+    # sphere -> certain-eclipsed end, lockstep with
+    # geometry.contact_interval's bracket)
     from ..roche.geometry import inscribed_radius
 
     r_ins = jax.vmap(inscribed_radius)(q, x1, pl1)
@@ -293,10 +311,14 @@ def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
     si_b = scal[:, 1:2]
     rad_b = scal[:, 3:4]
     inv_den = 1.0 / jnp.maximum(si_b * jnp.sqrt(ww), 1e-12)
-    c_eff = jnp.sqrt(jnp.maximum(ww - rad_b * rad_b, 0.0)) * inv_den
-    dphi_s = jnp.arccos(jnp.clip(c_eff, -1.0, 1.0)) / (2.0 * jnp.pi)
-    c_ins = jnp.sqrt(jnp.maximum(ww - r_ins * r_ins, 0.0)) * inv_den
-    dphi_i = jnp.arccos(jnp.clip(c_ins, -1.0, 1.0)) / (2.0 * jnp.pi)
+    c_eff = jnp.clip(
+        jnp.sqrt(jnp.maximum(ww - rad_b * rad_b, 0.0)) * inv_den,
+        0.0, 1.0)
+    w_sphere = jnp.sqrt((1.0 - c_eff) / (1.0 + c_eff))
+    c_ins = jnp.clip(
+        jnp.sqrt(jnp.maximum(ww - r_ins * r_ins, 0.0)) * inv_den,
+        0.0, 1.0)
+    w_inscr = jnp.sqrt((1.0 - c_ins) / (1.0 + c_ins))
 
     grid = (Wp // _W_BLOCK,)
     row_spec = pl.BlockSpec((_W_BLOCK, LANE), lambda w: (w, 0))
@@ -307,15 +329,20 @@ def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
     # globally) pallas/fori internals pick up i64 scalars that Mosaic
     # cannot legalize ("failed to legalize operation 'func.return'")
     with jax.enable_x64(False):
-        pin, pout, ecl = pl.pallas_call(
+        w_in, w_out, ecl = pl.pallas_call(
             _kernel,
             grid=grid,
-            in_specs=[scal_spec] + [row_spec] * 5,
+            in_specs=[scal_spec] + [row_spec] * 4,
             out_specs=[row_spec] * 3,
             out_shape=out_shape,
             interpret=interpret,
-        )(scal, px, py, phi_c, dphi_s, dphi_i)
-    return (pin[:W, :N], pout[:W, :N], ecl[:W, :N] > 0.5)
+        )(scal, px, py, w_inscr, w_sphere)
+    # one arctan per edge converts the omega roots back to phases
+    # (lockstep with geometry.contact_interval's conversion)
+    eclb = ecl > 0.5
+    pin = jnp.where(eclb, phi_c - (jnp.arctan(w_in) / jnp.pi), phi_c)
+    pout = jnp.where(eclb, phi_c + (jnp.arctan(w_out) / jnp.pi), phi_c)
+    return (pin[:W, :N], pout[:W, :N], eclb[:W, :N])
 
 
 # ---------------------------------------------------------------------------

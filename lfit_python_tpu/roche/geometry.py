@@ -744,11 +744,16 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
             c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
         return t, c, no_occ
 
+    # conjunction direction WITHOUT trig: theta_c = atan2(py, wx), so
+    # cos/sin(theta_c) = (wx, py)/|w| directly; e(phi_c) = (A, -B, ci)
+    iw = jax.lax.rsqrt(ww)
+    e_A = si * wx * iw               # si * cos(theta_c)
+    e_B = si * py * iw               # si * sin(theta_c)
+
     # seed at conjunction: the eclipsed? test — f32 suffices (c_mid is far
     # from 0 except for ultra-marginal grazes whose interval is ~empty;
     # measured flag agreement with f64 is 1.0000)
-    ex_c, ey_c = earth_xy(phi_c)
-    _, c_mid, _ = t_minimum(ex_c, ey_c)
+    _, c_mid, _ = t_minimum(e_A, -e_B)
     eclipsed = c_mid < 0.0
 
     # two-sided analytic bracket from concentric spheres (round-3
@@ -758,17 +763,18 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
     # (r_ins <= every lobe radius): the ray still hits it — certainly
     # ECLIPSED (strictly inside the lobe) — for
     # |phi - phi_c| < theta(r_ins) / 2 pi.  Both from the same closed
-    # form cos(theta(r)) = sqrt(ww - r^2) / (sin i sqrt(ww)); the lobe
-    # contact is pinned between them, so the envelope Newton starts
-    # inside a bracket a few times tighter than [conjunction, sphere
-    # miss] and needs fewer safeguarded iterations.
+    # form cos(theta(r)) = sqrt(ww - r^2) / (sin i sqrt(ww)).  The edge
+    # iteration runs in the omega = tan(theta/2) half-angle domain
+    # (Weierstrass), so the bracket endpoints convert WITHOUT arccos:
+    # tan(theta/2) = sqrt((1 - cos)/(1 + cos)); theta <= pi/2 here
+    # (cos >= 0), so omega is well-conditioned in [0, 1].
     inv_den = 1.0 / jnp.maximum(si * jnp.sqrt(ww), 1e-12)
-    c_eff = jnp.sqrt(jnp.maximum(ww - rad * rad, 0.0)) * inv_den
-    theta_max = jnp.arccos(jnp.clip(c_eff, -1.0, 1.0))
-    dphi_sphere = theta_max / two_pi
-    c_ins = jnp.sqrt(jnp.maximum(ww - r_ins * r_ins, 0.0)) * inv_den
-    theta_ins = jnp.arccos(jnp.clip(c_ins, -1.0, 1.0))
-    dphi_ins = theta_ins / two_pi
+    c_eff = jnp.clip(
+        jnp.sqrt(jnp.maximum(ww - rad * rad, 0.0)) * inv_den, 0.0, 1.0)
+    w_sphere = jnp.sqrt((1.0 - c_eff) / (1.0 + c_eff))
+    c_ins = jnp.clip(
+        jnp.sqrt(jnp.maximum(ww - r_ins * r_ins, 0.0)) * inv_den, 0.0, 1.0)
+    w_inscr = jnp.sqrt((1.0 - c_ins) / (1.0 + c_ins))
 
     def dc_dphi(t, phi, ex, ey):
         """Envelope derivative: grad(Phi) . t de/dphi, with
@@ -785,174 +791,187 @@ def _contact_interval_impl(q, incl_deg, p, xl1_val, phi_l1, r_ins,
         return t * two_pi * (gx * ey - gy * ex)
 
     def edge(sign):
-        """Safeguarded envelope Newton for c(phi) = 0 on the two-sided
-        sphere bracket [phi_c + sign dphi_ins, phi_c + sign dphi_sphere]
+        """Safeguarded envelope Newton for c = 0 in the half-angle
+        domain w = tan(theta/2), theta = |angle from conjunction|, on
+        the two-sided sphere bracket [w_inscr, w_sphere]
         (inscribed-sphere hit = eclipsed end, enclosing-sphere miss =
-        visible end)."""
-        lo = phi_c + sign * dphi_ins           # eclipsed end (certified)
-        hi = phi_c + sign * dphi_sphere        # visible end (sphere miss)
-        phi0 = 0.5 * (lo + hi)
+        visible end).
 
-        def make_body(use_f64):
-            def body(_, carry):
-                phi, lo, hi, phi_best, c_best, t = carry
-                ex, ey = earth_xy(phi)
-                # warm-started ray minimum: the carried t is clipped into
-                # the new sphere chord and polished with _EDGE_T_WARM
-                # clamped Newton steps (see the constant's comment)
-                tstar = wx * ex + wy * ey
-                disc = rad * rad - (ww - tstar * tstar)
-                half = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t_lo = jnp.maximum(tstar - half, 0.0)
-                t_hi = jnp.maximum(tstar + half, 0.0)
-                no_occ = disc <= 0.0
-                b1 = px * ex + py * ey
-                b2 = b1 - ex
-                t = jnp.clip(t, t_lo, t_hi)
-                t_mid = jnp.clip(tstar, t_lo, t_hi)
-                # first step carries a well-guard: if the carried t has
-                # drifted into a concave region (g2 <= 0, outside the
-                # donor's well, where a clamped Newton step stalls),
-                # restart from the chord midpoint — the well's centre —
-                # instead (without this, a stale t can stall on a
-                # shoulder, overestimate the clearance, and poison the
-                # phi bracket with a wrong sign: measured max error
-                # 9e-3 cycles vs 6e-6 with the guard)
+        The Weierstrass parametrization makes the per-iterate observer
+        direction RATIONAL in w — (cos, sin)(theta) =
+        ((1 - w^2), 2 w) / (1 + w^2) rotated from the conjunction
+        direction (e_A, -e_B) — so the 16 edge iterations (2 edges x
+        8) spend no sin/cos at all (they dominated the per-iteration
+        cost); ONE arctan per edge converts the root back to a phase.
+        Newton steps convert via dphi/dw = sign / (pi (1 + w^2))."""
+        lo = w_inscr                  # eclipsed end (certified)
+        hi = w_sphere                 # visible end (sphere miss)
+        w0 = 0.5 * (lo + hi)
+
+        def e_of(w):
+            """Observer direction at phi_c + sign * atan(w) / pi,
+            rational in w (no trig)."""
+            den = 1.0 / (1.0 + w * w)
+            cd = (1.0 - w * w) * den
+            sd = (2.0 * w) * den
+            ex = e_A * cd - sign * e_B * sd
+            ey = -(e_B * cd + sign * e_A * sd)
+            return ex, ey, den
+
+        def body(_, carry):
+            w, lo, hi, w_best, c_best, t = carry
+            ex, ey, den = e_of(w)
+            # warm-started ray minimum: the carried t is clipped into
+            # the new sphere chord and polished with _EDGE_T_WARM
+            # clamped Newton steps (see the constant's comment)
+            tstar = wx * ex + wy * ey
+            disc = rad * rad - (ww - tstar * tstar)
+            half = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_lo = jnp.maximum(tstar - half, 0.0)
+            t_hi = jnp.maximum(tstar + half, 0.0)
+            no_occ = disc <= 0.0
+            b1 = px * ex + py * ey
+            b2 = b1 - ex
+            t = jnp.clip(t, t_lo, t_hi)
+            t_mid = jnp.clip(tstar, t_lo, t_hi)
+            # first step carries a well-guard: if the carried t has
+            # drifted into a concave region (g2 <= 0, outside the
+            # donor's well, where a clamped Newton step stalls),
+            # restart from the chord midpoint — the well's centre —
+            # instead (without this, a stale t can stall on a
+            # shoulder, overestimate the clearance, and poison the
+            # bracket with a wrong sign: measured max error
+            # 9e-3 cycles vs 6e-6 with the guard)
+            _, g1, g2 = g_derivs(t, ex, ey, b1, b2)
+            t = jnp.where(
+                g2 > 1e-12,
+                jnp.clip(t - g1 / jnp.maximum(g2, 1e-12), t_lo, t_hi),
+                t_mid)
+            for _ in range(_EDGE_T_WARM - 1):
                 _, g1, g2 = g_derivs(t, ex, ey, b1, b2)
-                t = jnp.where(
-                    g2 > 1e-12,
-                    jnp.clip(t - g1 / jnp.maximum(g2, 1e-12), t_lo, t_hi),
-                    t_mid)
-                for _ in range(_EDGE_T_WARM - 1):
-                    _, g1, g2 = g_derivs(t, ex, ey, b1, b2)
-                    step = jnp.where(
-                        g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
-                    t = jnp.clip(t - step, t_lo, t_hi)
-                # fused clearance + endpoint insurance + envelope
-                # derivative.  One i1/i2 pair at the final t serves both
-                # the value and grad(Phi) (the chord form
-                # t^2 + 2 b t + |p|^2 equals |p + t e|^2).  Endpoint
-                # insurance (the minimum may ride a chord end near a
-                # graze) is cheap via the on-sphere identity: chord
-                # endpoints lie ON the enclosing sphere, so the donor
-                # term there is exactly -mu/rad — no rsqrt; clipped
-                # endpoints (t = 0) fall back to the hoisted rsqrt of
-                # the element's own donor distance.
-                i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
-                i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + c2n)
-                cx = px - mu + t * ex
-                cy = py + t * ey
-                val = (-(1.0 - mu) * i1 - mu * i2
-                       - 0.5 * (cx * cx + cy * cy))
-                i1_lo = jax.lax.rsqrt(t_lo * t_lo + 2.0 * b1 * t_lo + c1)
-                i2_lo = jnp.where(tstar - half > 0.0, inv_rad, i2_p)
-                cx_lo = px - mu + t_lo * ex
-                cy_lo = py + t_lo * ey
-                v_lo = (-(1.0 - mu) * i1_lo - mu * i2_lo
-                        - 0.5 * (cx_lo * cx_lo + cy_lo * cy_lo))
-                i1_hi = jax.lax.rsqrt(t_hi * t_hi + 2.0 * b1 * t_hi + c1)
-                i2_hi = jnp.where(tstar + half > 0.0, inv_rad, i2_p)
-                cx_hi = px - mu + t_hi * ex
-                cy_hi = py + t_hi * ey
-                v_hi = (-(1.0 - mu) * i1_hi - mu * i2_hi
-                        - 0.5 * (cx_hi * cx_hi + cy_hi * cy_hi))
-                pick_lo = v_lo < val
-                t = jnp.where(pick_lo, t_lo, t)
-                i1 = jnp.where(pick_lo, i1_lo, i1)
-                i2 = jnp.where(pick_lo, i2_lo, i2)
-                val = jnp.minimum(val, v_lo)
-                pick_hi = v_hi < val
-                t = jnp.where(pick_hi, t_hi, t)
-                i1 = jnp.where(pick_hi, i1_hi, i1)
-                i2 = jnp.where(pick_hi, i2_hi, i2)
-                val = jnp.minimum(val, v_hi)
-                if use_f64 and c_refined is not None:
-                    c = jnp.where(no_occ, _CLEAR_VISIBLE,
-                                  c_refined(t, phi).astype(dtype))
-                else:
-                    c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
-                # track the best EVALUATED point: |c| smallest.  Neither
-                # the bracket midpoint (can sit half a bracket off under
-                # one-sided Newton convergence) nor the last proposed
-                # iterate (can be an unevaluated midpoint fallback) is
-                # safe to return.
-                better = jnp.abs(c) < c_best
-                phi_best = jnp.where(better, phi, phi_best)
-                c_best = jnp.where(better, jnp.abs(c), c_best)
-                # update the bracket (lo stays eclipsed, hi stays visible)
-                lo = jnp.where(c < 0.0, phi, lo)
-                hi = jnp.where(c < 0.0, hi, phi)
-                # envelope derivative dc/dphi = grad(Phi) . t de/dphi from
-                # the same i1/i2
-                rx = px + t * ex
-                ry = py + t * ey
-                i13, i23 = i1 * i1 * i1, i2 * i2 * i2
-                gx = ((1.0 - mu) * rx * i13 + mu * (rx - 1.0) * i23
-                      - (rx - mu))
-                gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
-                d = t * two_pi * (gx * ey - gy * ex)
-                phi_newton = phi - c / jnp.where(
-                    jnp.abs(d) > 1e-12, d, jnp.inf)
-                inside = (phi_newton - lo) * (phi_newton - hi) < 0.0
-                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-                phi = jnp.where(ok, phi_newton, 0.5 * (lo + hi))
-                return phi, lo, hi, phi_best, c_best, t
-            return body
+                step = jnp.where(
+                    g2 > 1e-12, g1 / jnp.maximum(g2, 1e-12), 0.0)
+                t = jnp.clip(t - step, t_lo, t_hi)
+            # fused clearance + endpoint insurance + envelope
+            # derivative.  One i1/i2 pair at the final t serves both
+            # the value and grad(Phi) (the chord form
+            # t^2 + 2 b t + |p|^2 equals |p + t e|^2).  Endpoint
+            # insurance (the minimum may ride a chord end near a
+            # graze) is cheap via the on-sphere identity: chord
+            # endpoints lie ON the enclosing sphere, so the donor
+            # term there is exactly -mu/rad — no rsqrt; clipped
+            # endpoints (t = 0) fall back to the hoisted rsqrt of
+            # the element's own donor distance.
+            i1 = jax.lax.rsqrt(t * t + 2.0 * b1 * t + c1)
+            i2 = jax.lax.rsqrt(t * t + 2.0 * b2 * t + c2n)
+            cx = px - mu + t * ex
+            cy = py + t * ey
+            val = (-(1.0 - mu) * i1 - mu * i2
+                   - 0.5 * (cx * cx + cy * cy))
+            i1_lo = jax.lax.rsqrt(t_lo * t_lo + 2.0 * b1 * t_lo + c1)
+            i2_lo = jnp.where(tstar - half > 0.0, inv_rad, i2_p)
+            cx_lo = px - mu + t_lo * ex
+            cy_lo = py + t_lo * ey
+            v_lo = (-(1.0 - mu) * i1_lo - mu * i2_lo
+                    - 0.5 * (cx_lo * cx_lo + cy_lo * cy_lo))
+            i1_hi = jax.lax.rsqrt(t_hi * t_hi + 2.0 * b1 * t_hi + c1)
+            i2_hi = jnp.where(tstar + half > 0.0, inv_rad, i2_p)
+            cx_hi = px - mu + t_hi * ex
+            cy_hi = py + t_hi * ey
+            v_hi = (-(1.0 - mu) * i1_hi - mu * i2_hi
+                    - 0.5 * (cx_hi * cx_hi + cy_hi * cy_hi))
+            pick_lo = v_lo < val
+            t = jnp.where(pick_lo, t_lo, t)
+            i1 = jnp.where(pick_lo, i1_lo, i1)
+            i2 = jnp.where(pick_lo, i2_lo, i2)
+            val = jnp.minimum(val, v_lo)
+            pick_hi = v_hi < val
+            t = jnp.where(pick_hi, t_hi, t)
+            i1 = jnp.where(pick_hi, i1_hi, i1)
+            i2 = jnp.where(pick_hi, i2_hi, i2)
+            val = jnp.minimum(val, v_hi)
+            c = jnp.where(no_occ, _CLEAR_VISIBLE, val - phi_l1)
+            # track the best EVALUATED point: |c| smallest.  Neither
+            # the bracket midpoint (can sit half a bracket off under
+            # one-sided Newton convergence) nor the last proposed
+            # iterate (can be an unevaluated midpoint fallback) is
+            # safe to return.
+            better = jnp.abs(c) < c_best
+            w_best = jnp.where(better, w, w_best)
+            c_best = jnp.where(better, jnp.abs(c), c_best)
+            # update the bracket (lo stays eclipsed, hi stays visible)
+            lo = jnp.where(c < 0.0, w, lo)
+            hi = jnp.where(c < 0.0, hi, w)
+            # envelope derivative dc/dphi = grad(Phi) . t de/dphi from
+            # the same i1/i2; converted to dc/dw by sign * den / pi
+            rx = px + t * ex
+            ry = py + t * ey
+            i13, i23 = i1 * i1 * i1, i2 * i2 * i2
+            gx = ((1.0 - mu) * rx * i13 + mu * (rx - 1.0) * i23
+                  - (rx - mu))
+            gy = ry * ((1.0 - mu) * i13 + mu * i23 - 1.0)
+            d = t * two_pi * (gx * ey - gy * ex)
+            w_newton = w - (c * jnp.pi) / jnp.where(
+                jnp.abs(d) > 1e-12, sign * den * d, jnp.inf)
+            inside = (w_newton - lo) * (w_newton - hi) < 0.0
+            ok = inside & jnp.isfinite(w_newton) & ~no_occ
+            w = jnp.where(ok, w_newton, 0.5 * (lo + hi))
+            return w, lo, hi, w_best, c_best, t
 
         # NB: measured on v5e — lax.fori_loop beats a fully unrolled body
         # here (4.5-5 vs 6.0 ms at 1024 walkers x 992 elements); the
         # unrolled straight-line version spills
         big = jnp.asarray(jnp.inf, dtype)
         # seed the warm t with the chord midpoint (closest approach to
-        # the donor centre) at phi0; the first body iteration clips it
+        # the donor centre) at w0; the first body iteration clips it
         # into its bracket before polishing
-        ex0, ey0 = earth_xy(phi0)
+        ex0, ey0, _ = e_of(w0)
         t_init = wx * ex0 + wy * ey0
-        carry = (phi0, lo, hi, phi0, big, t_init)
+        carry = (w0, lo, hi, w0, big, t_init)
         if c_refined is None:
-            carry = jax.lax.fori_loop(
-                0, _EDGE_ITERS, make_body(False), carry)
-        else:
-            # mixed precision: f32 localisation, then an f64 tail.  The
-            # tail restarts from the ORIGINAL sphere bracket (f32 sign
-            # noise near a tangential contact can pin the f32 bracket on
-            # the wrong side of the root — it must not be inherited), and
-            # carries phi itself in f64: quantising the iterate to f32
-            # between iterations would floor the contact accuracy at
-            # ~1e-7 cycles, which is enough to flip an element across a
-            # coincident data phase.  Only the ray-minimum t and the
-            # envelope derivative stay f32 (envelope theorem: c is
-            # first-order insensitive to t error; d only steers Newton).
-            carry = jax.lax.fori_loop(
-                0, _EDGE_ITERS_F32, make_body(False), carry)
-            f64 = jnp.float64
-            big64 = jnp.asarray(jnp.inf, f64)
+            carry = jax.lax.fori_loop(0, _EDGE_ITERS, body, carry)
+            return phi_c + sign * (jnp.arctan(carry[3]) / jnp.pi)
+        # mixed precision: f32 omega-domain localisation, then an f64
+        # phi-domain tail.  The tail restarts from the ORIGINAL sphere
+        # bracket (f32 sign noise near a tangential contact can pin the
+        # f32 bracket on the wrong side of the root — it must not be
+        # inherited), and carries phi itself in f64: quantising the
+        # iterate to f32 between iterations would floor the contact
+        # accuracy at ~1e-7 cycles, which is enough to flip an element
+        # across a coincident data phase.  Only the ray-minimum t and
+        # the envelope derivative stay f32 (envelope theorem: c is
+        # first-order insensitive to t error; d only steers Newton).
+        carry = jax.lax.fori_loop(0, _EDGE_ITERS_F32, body, carry)
+        f64 = jnp.float64
+        big64 = jnp.asarray(jnp.inf, f64)
+        inv_pi = 1.0 / jnp.pi
+        lo_phi = phi_c + sign * (jnp.arctan(w_inscr) * inv_pi)
+        hi_phi = phi_c + sign * (jnp.arctan(w_sphere) * inv_pi)
 
-            def body64(_, carry):
-                phi, lo64, hi64, phi_best, c_best = carry
-                phi32 = phi.astype(dtype)
-                ex, ey = earth_xy(phi32)
-                t, _, no_occ = t_minimum(ex, ey)
-                c = jnp.where(no_occ, big64, c_refined(t, phi))
-                better = jnp.abs(c) < c_best
-                phi_best = jnp.where(better, phi, phi_best)
-                c_best = jnp.where(better, jnp.abs(c), c_best)
-                lo64 = jnp.where(c < 0.0, phi, lo64)
-                hi64 = jnp.where(c < 0.0, hi64, phi)
-                d = dc_dphi(t, phi32, ex, ey).astype(f64)
-                phi_newton = phi - c / jnp.where(
-                    jnp.abs(d) > 1e-12, d, jnp.inf)
-                inside = (phi_newton - lo64) * (phi_newton - hi64) < 0.0
-                ok = inside & jnp.isfinite(phi_newton) & ~no_occ
-                phi = jnp.where(ok, phi_newton, 0.5 * (lo64 + hi64))
-                return phi, lo64, hi64, phi_best, c_best
+        def body64(_, carry):
+            phi, lo64, hi64, phi_best, c_best = carry
+            phi32 = phi.astype(dtype)
+            ex, ey = earth_xy(phi32)
+            t, _, no_occ = t_minimum(ex, ey)
+            c = jnp.where(no_occ, big64, c_refined(t, phi))
+            better = jnp.abs(c) < c_best
+            phi_best = jnp.where(better, phi, phi_best)
+            c_best = jnp.where(better, jnp.abs(c), c_best)
+            lo64 = jnp.where(c < 0.0, phi, lo64)
+            hi64 = jnp.where(c < 0.0, hi64, phi)
+            d = dc_dphi(t, phi32, ex, ey).astype(f64)
+            phi_newton = phi - c / jnp.where(
+                jnp.abs(d) > 1e-12, d, jnp.inf)
+            inside = (phi_newton - lo64) * (phi_newton - hi64) < 0.0
+            ok = inside & jnp.isfinite(phi_newton) & ~no_occ
+            phi = jnp.where(ok, phi_newton, 0.5 * (lo64 + hi64))
+            return phi, lo64, hi64, phi_best, c_best
 
-            seed = carry[0].astype(f64)
-            carry = (seed, jnp.asarray(lo, f64), jnp.asarray(hi, f64),
-                     seed, big64)
-            carry = jax.lax.fori_loop(
-                0, _EDGE_ITERS_F64, body64, carry)
-        return carry[3]
+        seed = (phi_c + sign * (jnp.arctan(carry[0]) * inv_pi)).astype(f64)
+        carry64 = (seed, jnp.asarray(lo_phi, f64),
+                   jnp.asarray(hi_phi, f64), seed, big64)
+        carry64 = jax.lax.fori_loop(0, _EDGE_ITERS_F64, body64, carry64)
+        return carry64[3]
 
     # cast back to the working dtype (the downstream interval-overlap
     # visibility math must stay f32 on TPU; the ~1e-9 output quantisation
