@@ -517,6 +517,17 @@ def donor_curve_eval(nodes, phases):
     (HMC/NUTS) differentiate through it; node values carry their own
     tangents from :func:`donor_curve_nodes`.
 
+    GATHER-FREE: the four taps are evaluated as ONE-HOT MATMULS
+    (sum_i w_i * onehot(j_i) @ nodes) instead of ``nodes[j_i]`` gathers.
+    On this box's remote-TPU runtime, gathers whose indices are computed
+    in-graph from a broadcast execute ~2000x slower than their HLO
+    warrants (bisect recorded in ROADMAP.md); the one-hot contraction
+    sidesteps the pathology entirely and rides the MXU — the same trick
+    the ensemble sampler uses for stretch-move partner selection
+    (sampling/ensemble.py).  (P, n+1) one-hot weights at P ~ 128,
+    n = 256 are trivially small.  Linear in ``nodes``, so summing
+    colliding taps (boundary reflections) is exactly gather semantics.
+
     Interpolation error is quantified in tests/test_components.py
     (TestDonorQuadrature): the donor curve carries derivative kinks at
     every element's terminator crossing, so the error decays ~h^1.5
@@ -527,6 +538,8 @@ def donor_curve_eval(nodes, phases):
     lobe integral.
     """
     n_quad = nodes.shape[0] - 1
+    shape = jnp.shape(phases)
+    phases = jnp.reshape(phases, (-1,))
     # fold to [0, 0.5]: periodic + even
     tf = jnp.abs(jnp.mod(phases + 0.5, 1.0) - 0.5)
     x = tf * (2.0 * n_quad)                       # node units
@@ -535,17 +548,22 @@ def donor_curve_eval(nodes, phases):
     # even-reflected ghost indices: -1 -> 1, n_quad + 1 -> n_quad - 1
     jm1 = jnp.abs(j - 1)
     jp2 = n_quad - jnp.abs(n_quad - (j + 2))
-    f0 = nodes[jm1]
-    f1 = nodes[j]
-    f2 = nodes[j + 1]
-    f3 = nodes[jp2]
-    # Catmull-Rom basis
+    # Catmull-Rom basis weights of the four taps
     s2 = s * s
     s3 = s2 * s
-    return 0.5 * ((2.0 * f1)
-                  + (-f0 + f2) * s
-                  + (2.0 * f0 - 5.0 * f1 + 4.0 * f2 - f3) * s2
-                  + (-f0 + 3.0 * f1 - 3.0 * f2 + f3) * s3)
+    w0 = 0.5 * (-s + 2.0 * s2 - s3)
+    w1 = 0.5 * (2.0 - 5.0 * s2 + 3.0 * s3)
+    w2 = 0.5 * (s + 4.0 * s2 - 3.0 * s3)
+    w3 = 0.5 * (-s2 + s3)
+    m = jnp.arange(n_quad + 1, dtype=jnp.int32)[None, :]   # (1, n+1)
+
+    def oh(idx):
+        return (idx[:, None] == m).astype(s.dtype)
+
+    W = (w0[:, None] * oh(jm1) + w1[:, None] * oh(j)
+         + w2[:, None] * oh(j + 1) + w3[:, None] * oh(jp2))
+    out = jnp.dot(W, nodes, precision=jax.lax.Precision.HIGHEST)
+    return jnp.reshape(out, shape)
 
 
 def donor_flux(incl_deg, phases, grid: DonorGrid, ulimb_donor=0.9):

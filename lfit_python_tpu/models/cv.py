@@ -81,19 +81,19 @@ class CVConfig(NamedTuple):
     # error at 256 nodes: 7e-6 of the DONOR flux (~2.5e-7 of a typical
     # total — under the 1e-6 parity gate; tests/test_components.py
     # TestDonorQuadrature).  DEFAULT OFF on this box: the 4-tap
-    # interpolation gathers execute ~2000x slower than their HLO
-    # warrants whenever the gather indices are COMPUTED IN-GRAPH from a
-    # broadcast (measured 105 ms vs 0.03 ms for byte-identical gather
-    # ops whose indices arrive as a jit input; optimization_barrier /
-    # bitcast laundering / top-level take_along_axis all do NOT help;
-    # the compiled HLO of fast and slow variants is near-identical, so
-    # this is a runtime pathology of the axon remote-TPU stack, not a
-    # compilation artifact — full bisect recorded in ROADMAP.md).  On a
-    # direct-attached TPU this knob is worth re-measuring: the node
-    # evaluation itself costs ~0.6 ms vs 7.7 ms for exact per-eclipse
-    # sums.  0 = exact per-phase sums (cv_fluxes called WITHOUT a
-    # precomputed donor_curve always uses exact sums regardless).
-    n_donor_quad: int = 0
+    # error 7e-6 of the DONOR flux (~2.5e-7 of a typical total — under
+    # the 1e-6 parity gate; tests/test_components.py
+    # TestDonorQuadrature).  The interpolation is GATHER-FREE (one-hot
+    # matmul taps, components.donor_curve_eval): this box's remote-TPU
+    # runtime executes in-graph-indexed gathers ~2000x slower than
+    # their HLO warrants (bisect in ROADMAP.md), which is why a plain
+    # nodes[j] implementation had to ship default-off in round 3.
+    # None = auto: 256 nodes when the backend is TPU (where the exact
+    # per-eclipse sums cost ~7 ms of the north-star posterior), 0
+    # elsewhere (CPU exact sums are cheap and stay the oracle).
+    # 0 = exact per-phase sums (cv_fluxes called WITHOUT a precomputed
+    # donor_curve always uses exact sums regardless).
+    n_donor_quad: int | None = None
     # mixed precision (SURVEY.md §7 hard-part 2): solve the per-walker
     # scalar geometry (xl1, findi) in f64 and re-evaluate the contact /
     # WD-shadow decision quantity c = Phi - Phi_L1 in f64 near the roots,
@@ -119,6 +119,14 @@ class CVConfig(NamedTuple):
     # primal-only — gradient paths (HMC) must pin this to False and use
     # the XLA solver, whose contacts carry IFT tangents.
     pallas_contacts: bool | None = None
+
+
+def resolve_donor_quad(config: "CVConfig") -> int:
+    """Resolve ``CVConfig.n_donor_quad``'s auto default (None) at trace
+    time: 256 quadrature intervals on TPU, 0 (exact sums) elsewhere."""
+    if config.n_donor_quad is None:
+        return 256 if jax.default_backend() == "tpu" else 0
+    return config.n_donor_quad
 
 
 class CVFluxes(NamedTuple):

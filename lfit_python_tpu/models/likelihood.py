@@ -190,7 +190,7 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
     def ln_like(var_vec):
         from ..roche.stream import stream_impacts
         from .components import donor_curve_nodes, donor_grid
-        from .cv import cv_geometry, core_precise
+        from .cv import cv_geometry, core_precise, resolve_donor_quad
 
         full = model.full_from_var(var_vec.astype(dtype))
         cvp = model.cv_params(full)                      # (E, 18)
@@ -203,9 +203,9 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
-        dcurve = (donor_curve_nodes(incl, dgrid, config.ulimb_donor,
-                                    config.n_donor_quad)
-                  if config.n_donor_quad else None)
+        n_dq = resolve_donor_quad(config)
+        dcurve = (donor_curve_nodes(incl, dgrid, config.ulimb_donor, n_dq)
+                  if n_dq else None)
         core = (x1, pl1, incl, None, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
@@ -244,7 +244,8 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         """
         from ..roche.stream import stream_impacts
         from .components import donor_curve_nodes, donor_grid
-        from .cv import cv_geometry, cv_physical_ok, core_precise
+        from .cv import cv_geometry, cv_physical_ok, core_precise, \
+            resolve_donor_quad
 
         full = model.full_from_var(var_vec.astype(dtype))
         lp = ln_prior_table(full, prior_table)
@@ -261,9 +262,9 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         # on core-node quantities (incl, the lobe grid), so the element
         # sum runs once per walker on the quadrature nodes and each
         # eclipse interpolates (components.donor_curve_nodes docstring)
-        dcurve = (donor_curve_nodes(incl, dgrid, config.ulimb_donor,
-                                    config.n_donor_quad)
-                  if config.n_donor_quad else None)
+        n_dq = resolve_donor_quad(config)
+        dcurve = (donor_curve_nodes(incl, dgrid, config.ulimb_donor, n_dq)
+                  if n_dq else None)
         core = (x1, pl1, incl, None, core_precise(q, dphi, config, dtype))
 
         def one_ecl(k, pars):
