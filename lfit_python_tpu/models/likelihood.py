@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..roche.geometry import findi, l1_potential, xl1
-from ..roche.stream import spot_position
 from .cv import CVConfig, cv_total_flux
 from .priors import ln_prior_table
 from .tree import CompiledModel
@@ -55,25 +54,6 @@ def _to_device_data(model: CompiledModel, dtype) -> PosteriorData:
         gp_idx=jnp.asarray(model.gp_idx),
         gp_mask=jnp.asarray(model.gp_mask),
     )
-
-
-def _ln_physical(cv_pars):
-    """0 where the geometry is physical, -inf otherwise (one eclipse)."""
-    q, dphi = cv_pars[4], cv_pars[5]
-    rdisc_x, rwd = cv_pars[6], cv_pars[8]
-    x1 = xl1(q)
-    pl1 = l1_potential(q, x1)
-    incl = findi(q, dphi, x1, pl1)
-    rdisc = rdisc_x * x1
-    spot = spot_position(q, rdisc)
-    spot_r = jnp.linalg.norm(spot)
-    ok = (
-        jnp.isfinite(incl)
-        & (rwd < rdisc)
-        & (spot_r <= rdisc * (1.0 + 1e-3))
-        & (spot_r > rwd)
-    )
-    return jnp.where(ok, 0.0, -jnp.inf)
 
 
 def wd_contact_extension(q, incl, dphi, rwd, x1, pl1, dtype):
@@ -181,10 +161,34 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         return None if _no_widths else data.width[k]
 
     def ln_prior(var_vec):
+        """Prior table + physical-validity checks, with the SAME hoisted
+        geometry as ``ln_prob``: one xl1/findi solve for the shared core
+        node and ONE carry-only ``stream_impacts`` integration resolving
+        every eclipse's disc radius (the tempered sampler evaluates this
+        for all rungs every half-step — a per-eclipse stacked-trajectory
+        ``spot_position`` here used to cost several times the fused
+        posterior for identical answers).  The validity logic itself is
+        ``cv_physical_ok`` — one definition, no drift."""
+        from ..roche.stream import stream_impacts
+        from .cv import cv_geometry, cv_physical_ok
+
         full = model.full_from_var(var_vec.astype(dtype))
         lp = ln_prior_table(full, prior_table)
-        cvp = model.cv_params(full)
-        phys = jax.vmap(_ln_physical)(cvp)
+        cvp = model.cv_params(full)                      # (E, 18)
+        q, dphi = cvp[0, 4], cvp[0, 5]
+        x1 = xl1(q)
+        pl1 = l1_potential(q, x1)
+        incl = findi(q, dphi, x1, pl1)
+        impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
+        # the validity check needs no mixed-precision refinement and no
+        # donor grid/curve — core=(x1, pl1, incl, no traj, no precise)
+        core = (x1, pl1, incl, None, None)
+
+        def one_ecl(k, pars):
+            geom = cv_geometry(pars, config, core=core, impact=impacts[k])
+            return jnp.where(cv_physical_ok(pars, geom), 0.0, -jnp.inf)
+
+        phys = jax.vmap(one_ecl)(jnp.arange(model.n_eclipses), cvp)
         return lp + jnp.sum(phys)
 
     def ln_like(var_vec):
