@@ -191,7 +191,14 @@ def build_model_from_config(cfg: FitConfig, data_dir=None) -> HierarchicalModel:
         else:
             lc = Lightcurve.from_file(data_dir / fname, name=f"ecl{k}",
                                       trim=cfg.trims.get(k))
+        # node label "ecl<k>" (NOT the bare input-file index "<k>"): the
+        # compiled tree suffixes parameter names and per-node artifacts
+        # (corner_<label>.png, chain headers) with this label, and the
+        # examples/tests convention — and the reference's _<label>
+        # addressing [R-med] — is ecl0/ecl1/...  The raw input-file keys
+        # stay "<name>_<k>" (looked up above), so published inputs parse
+        # unchanged; only the emitted names change.
         eclipses.append(EclipseSpec(
-            str(k), band, lc, params, complex_spot=cplx, use_gp=gp,
+            f"ecl{k}", band, lc, params, complex_spot=cplx, use_gp=gp,
             plot=cfg.plot_flags.get(k, True)))
     return HierarchicalModel(core, bands, eclipses)

@@ -96,9 +96,11 @@ class TestConfigReader:
     def test_build_model(self, input_file):
         cfg = parse_input_dat(input_file)
         model = build_model_from_config(cfg).compile()
-        # eclipse 1 is complex: 4 extra params vs eclipse 0
-        n0 = sum(1 for n in model.param_names if n.endswith("_0"))
-        n1 = sum(1 for n in model.param_names if n.endswith("_1"))
+        # eclipse 1 is complex: 4 extra params vs eclipse 0.  Config-built
+        # eclipses are labelled ecl<k> (matching examples.py and the
+        # reference's _<label> addressing), not the bare input index.
+        n0 = sum(1 for n in model.param_names if n.endswith("_ecl0"))
+        n1 = sum(1 for n in model.param_names if n.endswith("_ecl1"))
         assert n1 == n0 + 4
         assert model.n_eclipses == 2
         assert model.data_mask.shape == (2, 40)
@@ -138,7 +140,7 @@ class TestConfigReader:
         assert len(sc) == len(names)
         by_name = dict(zip(names, sc))
         assert by_name["q_core"] == COMP_SCAT_FRACTIONS["q"]
-        assert by_name["dFlux_0"] == COMP_SCAT_FRACTIONS["dFlux"]
+        assert by_name["dFlux_ecl0"] == COMP_SCAT_FRACTIONS["dFlux"]
         # geometry params get tighter balls than flux scales
         assert by_name["dphi_core"] < by_name["wdFlux_g"]
 
