@@ -493,11 +493,15 @@ def _report(model, chain, lp, outdir, args):
         # per-node corners (reference per-node thumbPlot [R-med]): one per
         # tree node keeps the big hierarchical fits readable.  Only when
         # the tree actually has multiple nodes with variable params.
+        # max_params=19 > the largest possible node (complex + GP eclipse
+        # = 15 params), so per-node corners never truncate — every
+        # sampled parameter appears in some corner plot even when the
+        # global corner of a ~50-param production fit caps at 12.
         groups = model.var_groups()
         if len(groups) > 1:
             for label, idx in groups:
                 corner_plot(flat[:, idx], [names[i] for i in idx],
-                            outdir / f"corner_{label}.png")
+                            outdir / f"corner_{label}.png", max_params=19)
         for k in range(model.n_eclipses):
             if not model.plot_mask[k]:       # reference plot_<i> = 0 [R-med]
                 continue

@@ -57,14 +57,30 @@ def plot_eclipse(model, full_vec, eclipse_index=0, config=None, path=None):
 
 def corner_plot(flat, names, path=None, max_params=12):
     """Corner (pairwise scatter + histogram) plot, reference ``thumbPlot``
-    [R].  Caps at ``max_params`` dimensions for readability."""
+    [R].  Caps at ``max_params`` dimensions for readability — but NEVER
+    silently: truncation emits a warning and stamps the figure with
+    "showing d/D parameters".  The CLI raises the cap for per-node
+    corners (every tree node fits in <= 19 params) so the production
+    report shows every sampled parameter somewhere; only the global
+    corner of a big hierarchical fit truncates, and says so."""
+    import warnings
+
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     flat = np.asarray(flat)
     d = min(flat.shape[1], max_params)
+    truncated = flat.shape[1] > d
+    if truncated:
+        warnings.warn(
+            f"corner_plot: showing {d}/{flat.shape[1]} parameters "
+            f"({path or 'figure'}); the per-node corner_<label>.png "
+            "plots cover the rest", stacklevel=2)
     fig, axes = plt.subplots(d, d, figsize=(2.0 * d, 2.0 * d))
+    if truncated:
+        fig.suptitle(f"showing {d}/{flat.shape[1]} parameters "
+                     "(see per-node corners)", fontsize=10, color="crimson")
     if d == 1:
         axes = np.array([[axes]])
     for i in range(d):
