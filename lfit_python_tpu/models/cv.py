@@ -80,17 +80,18 @@ class CVConfig(NamedTuple):
     # C^1) instead of re-running the (phases x elements) sum.  Interp
     # error at 256 nodes: 7e-6 of the DONOR flux (~2.5e-7 of a typical
     # total — under the 1e-6 parity gate; tests/test_components.py
-    # TestDonorQuadrature).  DEFAULT OFF on this box: the 4-tap
-    # error 7e-6 of the DONOR flux (~2.5e-7 of a typical total — under
-    # the 1e-6 parity gate; tests/test_components.py
     # TestDonorQuadrature).  The interpolation is GATHER-FREE (one-hot
     # matmul taps, components.donor_curve_eval): this box's remote-TPU
     # runtime executes in-graph-indexed gathers ~2000x slower than
-    # their HLO warrants (bisect in ROADMAP.md), which is why a plain
-    # nodes[j] implementation had to ship default-off in round 3.
-    # None = auto: 256 nodes when the backend is TPU (where the exact
-    # per-eclipse sums cost ~7 ms of the north-star posterior), 0
-    # elsewhere (CPU exact sums are cheap and stay the oracle).
+    # their HLO warrants (bisect in ROADMAP.md), so a plain nodes[j]
+    # 4-tap implementation was unusable here; the one-hot form is what
+    # made quadrature shippable as the TPU default.
+    # None = auto (resolve_donor_quad, keyed off jax.default_backend()
+    # at trace time — see that docstring for the caveat): 256 nodes when
+    # the default backend is TPU (where the exact per-eclipse sums cost
+    # ~7 ms of the north-star posterior), 0 elsewhere (CPU exact sums
+    # are cheap and stay the oracle; parity harnesses that want
+    # bit-level comparison should pin n_donor_quad=0 explicitly).
     # 0 = exact per-phase sums (cv_fluxes called WITHOUT a precomputed
     # donor_curve always uses exact sums regardless).
     n_donor_quad: int | None = None
@@ -115,15 +116,26 @@ class CVConfig(NamedTuple):
     # faster than the XLA fori_loop program, 13 vs 118 s cold).
     # None = auto: ON when the backend is TPU, OFF elsewhere (the CPU
     # fallback is interpret-mode, for tests only).  Applies only when the
-    # working dtype is f32 and mixed precision is off.  The kernel is
-    # primal-only — gradient paths (HMC) must pin this to False and use
-    # the XLA solver, whose contacts carry IFT tangents.
+    # working dtype is f32 and mixed precision is off.  The kernel IS
+    # differentiable: cv_fluxes routes through contacts_op_diff, which
+    # attaches implicit-function-theorem tangents at the kernel-computed
+    # roots (ops/pallas_contacts.py), so gradient samplers (HMC/NUTS)
+    # run on the Pallas hot path too (grad-vs-XLA-path equality tested
+    # in tests/test_pallas.py).
     pallas_contacts: bool | None = None
 
 
 def resolve_donor_quad(config: "CVConfig") -> int:
     """Resolve ``CVConfig.n_donor_quad``'s auto default (None) at trace
-    time: 256 quadrature intervals on TPU, 0 (exact sums) elsewhere."""
+    time: 256 quadrature intervals on TPU, 0 (exact sums) elsewhere.
+
+    Limitation (same heuristic as the pallas_contacts auto default):
+    this keys off ``jax.default_backend()`` at trace time, not the device
+    the program is ultimately compiled for — a function explicitly jitted
+    to a non-default backend gets the default backend's branch.  Pin
+    ``n_donor_quad`` explicitly when targeting a non-default backend or
+    when bit-level comparison against the exact-sum oracle is intended.
+    """
     if config.n_donor_quad is None:
         return 256 if jax.default_backend() == "tpu" else 0
     return config.n_donor_quad
