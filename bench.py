@@ -56,6 +56,105 @@ def _measure(model, n_walkers, dtype, reps=10, retries=1):
             time.sleep(10.0)
 
 
+def _time_step(step, state, reps):
+    """Wall time per call of a jitted state -> state step function."""
+    import jax
+
+    state = step(state)
+    jax.block_until_ready(state)                 # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = step(state)
+    jax.block_until_ready(state)
+    return (time.perf_counter() - t0) / reps
+
+
+def _start_pos(model, n, dtype, scale=0.001):
+    import jax.numpy as jnp
+
+    start = np.asarray(model.var_start(), np.float32)
+    rng = np.random.default_rng(0)
+    pos = (start[None, :] + scale * np.abs(start)[None, :]
+           * rng.standard_normal((n, start.size)))
+    return jnp.asarray(pos, dtype), jnp.asarray(start, dtype)
+
+
+def _measure_pt(model, n_walkers, n_temps, dtype, reps=5):
+    """Per-rung tempered-proposal evals/sec: one pt_step evaluates
+    (ln_prior, ln_like) for n_temps x n_walkers proposals (two
+    half-ensemble sweeps) + the swap sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.models.likelihood import make_ln_prob_parts
+    from lfit_python_tpu.sampling.pt import PTState, default_beta_ladder, \
+        pt_step
+
+    ln_prior, ln_like, _ = make_ln_prob_parts(model, dtype=dtype)
+    pos, _ = _start_pos(model, n_temps * n_walkers, dtype)
+    pos = pos.reshape(n_temps, n_walkers, -1)
+    lp = jax.jit(jax.vmap(jax.vmap(ln_prior)))(pos)
+    ll = jax.jit(jax.vmap(jax.vmap(ln_like)))(pos)
+    state = PTState(jax.random.PRNGKey(0), pos, ll, lp,
+                    default_beta_ladder(n_temps).astype(dtype),
+                    jnp.asarray(0, jnp.int32))
+    step = jax.jit(lambda s: pt_step(s, ln_prior, ln_like)[0])
+    dt = _time_step(step, state, reps)
+    return n_temps * n_walkers / dt
+
+
+def _measure_hmc(model, n_chains, n_leapfrog, dtype, reps=5):
+    """Gradient (leapfrog) evals/sec: one hmc_step costs
+    n_chains x n_leapfrog value_and_grad evaluations of the posterior."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.models.likelihood import make_ln_prob
+    from lfit_python_tpu.sampling.hmc import HMCState, hmc_step
+
+    ln_prob = make_ln_prob(model, dtype=dtype)
+    pos, start = _start_pos(model, n_chains, dtype)
+    lp, g = jax.jit(jax.vmap(jax.value_and_grad(ln_prob)))(pos)
+    scatter = jnp.asarray(0.001 * np.abs(np.asarray(start)) + 1e-6, dtype)
+    state = HMCState(jax.random.PRNGKey(0), pos, lp, g,
+                     jnp.asarray(1e-4, dtype), scatter ** 2,
+                     jnp.asarray(0, jnp.int32))
+    step = jax.jit(lambda s: hmc_step(s, ln_prob, n_leapfrog)[0])
+    dt = _time_step(step, state, reps)
+    return n_chains * n_leapfrog / dt
+
+
+def _measure_nuts(model, n_chains, max_depth, dtype, reps=3):
+    """NUTS trajectories/sec + realized mean tree depth.  Grad evals per
+    trajectory ~ 2^depth, but chains run in vmap lockstep to the
+    batch-deepest trajectory, so the honest per-chip number is
+    trajectories/sec at the measured depth (BASELINE.md discusses the
+    lockstep cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.models.likelihood import make_ln_prob
+    from lfit_python_tpu.sampling.hmc import HMCState
+    from lfit_python_tpu.sampling.nuts import nuts_step
+
+    ln_prob = make_ln_prob(model, dtype=dtype)
+    pos, start = _start_pos(model, n_chains, dtype)
+    lp, g = jax.jit(jax.vmap(jax.value_and_grad(ln_prob)))(pos)
+    scatter = jnp.asarray(0.001 * np.abs(np.asarray(start)) + 1e-6, dtype)
+    state = HMCState(jax.random.PRNGKey(0), pos, lp, g,
+                     jnp.asarray(1e-4, dtype), scatter ** 2,
+                     jnp.asarray(0, jnp.int32))
+    step = jax.jit(lambda s: nuts_step(s, ln_prob, max_depth)[0::4])
+    (state, depth) = step(state)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, depth = step(state)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / reps
+    return n_chains / dt, float(depth)
+
+
 def _probe_backend_bounded(seconds=240):
     """Probe JAX backend init in a SUBPROCESS with a hard deadline.
 
@@ -112,6 +211,70 @@ def main():
         n_eclipses=1, complex_spot=False, n_points=128).compile()
     rate1 = _measure(single, n_walkers, dtype)
 
+    # ---- per-sampler-path throughput (VERDICT r3 #1: a measured number
+    # for EVERY path, not just the easiest chi^2 ensemble posterior).
+    # Each extra is guarded two ways: a transient failure in one records
+    # an error key instead of killing the headline artifact, and a global
+    # wall-clock deadline skips remaining extras once the budget is spent
+    # (cold remote-TPU compiles of the five extra programs can exceed the
+    # driver's bench timeout; the persistent compile cache makes them
+    # cheap on every later run, so skipped extras fill in across runs).
+    extras = {}
+    deadline = time.monotonic() + float(
+        __import__("os").environ.get("BENCH_EXTRAS_BUDGET_S", "300"))
+
+    def _try(fn, **keys):
+        if time.monotonic() > deadline:
+            extras[next(iter(keys)) + "_skipped"] = "extras deadline"
+            return
+        try:
+            fn()
+        except Exception as e:                          # noqa: BLE001
+            for k in keys:
+                extras[k] = None
+            extras[next(iter(keys)) + "_error"] = repr(e)[:200]
+
+    def _gp():
+        # BASELINE config 4: GP flickering likelihood (north-star shape)
+        gp_model = build_model(
+            n_eclipses=5, complex_spot=[False] * 5, use_gp=True,
+            n_points=128, bands=("g", "r")).compile()
+        extras["gp_evals_per_sec"] = round(
+            _measure(gp_model, n_walkers, dtype), 1)
+
+    def _config5():
+        # BASELINE config 5, single-chip slice: 10 eclipses x complex x
+        # GP at 4096 walkers (HBM-resident; the v5e-8 run shards this
+        # same program over the walker mesh)
+        c5 = build_model(
+            n_eclipses=10, complex_spot=True, use_gp=True,
+            n_points=128, bands=("g", "r")).compile()
+        extras["config5_evals_per_sec"] = round(
+            _measure(c5, 4096, dtype, reps=5), 1)
+
+    def _pt():
+        r = _measure_pt(north, 256, 4, dtype)
+        extras["pt_evals_per_sec"] = round(r, 1)
+        # tempered-proposal cost vs the fused posterior (target <= ~1.5x:
+        # each PT proposal evaluates ln_prior + ln_like with ONE hoisted
+        # geometry solve each, mirroring ln_prob)
+        extras["pt_cost_vs_fused"] = round(rate5 / r, 3)
+
+    def _hmc():
+        extras["hmc_grad_evals_per_sec"] = round(
+            _measure_hmc(north, 256, 16, dtype), 1)
+
+    def _nuts():
+        traj, depth = _measure_nuts(north, 256, 6, dtype)
+        extras["nuts_traj_per_sec"] = round(traj, 1)
+        extras["nuts_mean_depth"] = round(depth, 2)
+
+    _try(_gp, gp_evals_per_sec=None)
+    _try(_config5, config5_evals_per_sec=None)
+    _try(_pt, pt_evals_per_sec=None, pt_cost_vs_fused=None)
+    _try(_hmc, hmc_grad_evals_per_sec=None)
+    _try(_nuts, nuts_traj_per_sec=None, nuts_mean_depth=None)
+
     print(json.dumps({
         "metric": ("ln_prob evals/sec/chip, north-star config "
                    "(5-eclipse hierarchical, 2 bands, 1024 walkers, "
@@ -122,6 +285,7 @@ def main():
         "single_eclipse_evals_per_sec": round(rate1, 1),
         "single_eclipse_vs_baseline": round(
             rate1 / REFERENCE_1ECL_EVALS_PER_SEC, 2),
+        **extras,
     }))
 
 

@@ -1,0 +1,174 @@
+"""ESS/sec comparison of the four samplers on the north-star posterior.
+
+VERDICT round-3 #6: the gradient samplers (HMC/NUTS) are this framework's
+marquee capability beyond the non-differentiable reference — quantify
+whether they actually beat the stretch move per chip-second on the
+flagship configuration, or document where they don't.
+
+Method: each sampler runs warmup/burn-in (discarded, untimed quality-wise
+but reported), then a TIMED production phase; effective sample size per
+parameter comes from the integrated autocorrelation time (FFT windowed
+estimator, utils/chains.autocorr_time — the same number params.json
+reports).  The comparison metric is min-over-parameters ESS per second
+of production wall-clock on one chip.  Chain counts follow each
+sampler's natural operating point (ensemble: 1024 walkers = the
+BASELINE.json metric config; HMC/NUTS: 256 chains — gradient chains cost
+n_leapfrog/2^depth posterior-gradient evals per draw, so fewer, longer
+chains is the honest configuration).
+
+Usage:  python tools/ess_study.py [--steps-scale S]
+Prints one JSON line per sampler plus a BASELINE.md-ready markdown table.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _model_and_posterior():
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.examples import build_model
+    from lfit_python_tpu.models.likelihood import make_ln_prob
+
+    model = build_model(
+        n_eclipses=5, complex_spot=[False] * 5, n_points=128,
+        bands=("g", "r")).compile()
+    return model, make_ln_prob(model, dtype=jnp.float32)
+
+
+def _ess_per_sec(chain, seconds):
+    from lfit_python_tpu.utils.chains import autocorr_time
+
+    tau = autocorr_time(chain)
+    n_tot = chain.shape[0] * chain.shape[1]
+    ess = n_tot / np.maximum(tau, 1.0)
+    return {
+        "production_s": round(seconds, 2),
+        "ess_min": round(float(ess.min()), 1),
+        "ess_median": round(float(np.median(ess)), 1),
+        "ess_min_per_sec": round(float(ess.min() / seconds), 2),
+        "tau_max": round(float(tau.max()), 1),
+    }
+
+
+def run_ensemble(model, ln_prob, n_burn, n_prod, n_walkers=1024):
+    import jax
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.sampling.ensemble import init_walkers, run_sampler
+
+    start = jnp.asarray(model.var_start(), jnp.float32)
+    scatter = jnp.asarray(
+        0.001 * np.maximum(np.abs(model.var_start()), 1e-2), jnp.float32)
+    state = init_walkers(jax.random.PRNGKey(0), start, scatter, ln_prob,
+                         n_walkers)
+    t0 = time.perf_counter()
+    state, _, _, _ = run_sampler(state, ln_prob, n_burn)   # burn + compile
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, chain, _, acc = run_sampler(state, ln_prob, n_prod)
+    dt = time.perf_counter() - t0
+    out = {"sampler": "ensemble", "chains": n_walkers,
+           "steps": n_prod, "warmup_s": round(warm_s, 2),
+           "accept": round(float(np.mean(acc)), 3)}
+    out.update(_ess_per_sec(chain, dt))
+    return out
+
+
+def run_gradient(kind, model, ln_prob, n_warm, n_prod, n_chains=256,
+                 n_leapfrog=16, max_depth=8):
+    import jax
+    import jax.numpy as jnp
+
+    from lfit_python_tpu.sampling.hmc import init_hmc
+
+    start = jnp.asarray(model.var_start(), jnp.float32)
+    scatter = jnp.asarray(
+        0.001 * np.maximum(np.abs(model.var_start()), 1e-2), jnp.float32)
+    state = init_hmc(jax.random.PRNGKey(0), start, scatter, ln_prob,
+                     n_chains, step_size=1e-3)
+    t0 = time.perf_counter()
+    if kind == "hmc":
+        from lfit_python_tpu.sampling.hmc import run_hmc, warmup_hmc
+
+        state = warmup_hmc(state, ln_prob, n_warm, n_leapfrog)
+        jax.block_until_ready(state)
+        warm_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, chain, _, acc, div = run_hmc(state, ln_prob, n_prod,
+                                            n_leapfrog)
+        dt = time.perf_counter() - t0
+        extra = {"n_leapfrog": n_leapfrog,
+                 "accept": round(float(np.mean(acc)), 3),
+                 "divergence_frac": round(float(np.mean(div)), 4),
+                 "step_size": float(state.step_size)}
+    else:
+        from lfit_python_tpu.sampling.nuts import run_nuts, warmup_nuts
+
+        state = warmup_nuts(state, ln_prob, n_warm, max_depth)
+        jax.block_until_ready(state)
+        warm_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, chain, _, astat, div, depth = run_nuts(state, ln_prob,
+                                                      n_prod, max_depth)
+        dt = time.perf_counter() - t0
+        extra = {"max_depth": max_depth,
+                 "mean_depth": round(float(np.mean(depth)), 2),
+                 "accept_stat": round(float(np.mean(astat)), 3),
+                 "divergence_frac": round(float(np.mean(div)), 4),
+                 "step_size": float(state.step_size)}
+    out = {"sampler": kind, "chains": n_chains, "steps": n_prod,
+           "warmup_s": round(warm_s, 2), **extra}
+    out.update(_ess_per_sec(chain, dt))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-scale", type=float, default=1.0,
+                    help="scale all step counts (quick smoke: 0.1)")
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["ensemble", "hmc", "nuts"])
+    args = ap.parse_args()
+    s = args.steps_scale
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)   # faster f32 executable
+    from lfit_python_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+
+    model, ln_prob = _model_and_posterior()
+    rows = []
+    if "ensemble" not in args.skip:
+        rows.append(run_ensemble(model, ln_prob,
+                                 n_burn=int(400 * s), n_prod=int(2000 * s)))
+        print(json.dumps(rows[-1]), flush=True)
+    if "hmc" not in args.skip:
+        rows.append(run_gradient("hmc", model, ln_prob,
+                                 n_warm=int(300 * s), n_prod=int(400 * s)))
+        print(json.dumps(rows[-1]), flush=True)
+    if "nuts" not in args.skip:
+        rows.append(run_gradient("nuts", model, ln_prob,
+                                 n_warm=int(200 * s), n_prod=int(250 * s)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    print("\n| sampler | chains | prod steps | prod wall | min ESS | "
+          "min ESS/s | notes |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        notes = []
+        for k in ("accept", "accept_stat", "mean_depth",
+                  "divergence_frac"):
+            if k in r:
+                notes.append(f"{k}={r[k]}")
+        print(f"| {r['sampler']} | {r['chains']} | {r['steps']} | "
+              f"{r['production_s']}s | {r['ess_min']} | "
+              f"**{r['ess_min_per_sec']}** | {', '.join(notes)} |")
+
+
+if __name__ == "__main__":
+    main()
