@@ -577,10 +577,21 @@ def donor_flux(incl_deg, phases, grid: DonorGrid, ulimb_donor=0.9):
     and ignored, as in the reference [R].  Ellipsoidal modulation arises
     naturally from the tile geometry.
     """
+    # Componentwise broadcast FMAs + ONE fused reduction instead of two
+    # dot_generals: the dots put a (P, N) intermediate between them that
+    # XLA materialises in HBM (at 1024 walkers x 257 quadrature phases x
+    # 384 elements that is ~400 MB of round-trip traffic for microscopic
+    # compute).  As elementwise ops feeding jnp.sum, XLA input-fuses the
+    # whole chain into the reduction with no materialised (P, N) tensor:
+    # 2.6 -> 1.7 ms on the donor-curve stage at 1024 walkers
+    # (tools/bench_donor.py; max relative delta 2e-7 = f32
+    # reduction-order noise, same accumulation class as a HIGHEST dot).
     e = earth_vector(phases, incl_deg)               # (P, 3)
-    mu = jnp.dot(e, grid.normals.T,
-                 precision=jax.lax.Precision.HIGHEST)  # (P, N)
+    nrm = grid.normals
+    mu = (e[:, 0, None] * nrm[None, :, 0]
+          + e[:, 1, None] * nrm[None, :, 1]
+          + e[:, 2, None] * nrm[None, :, 2])         # (P, N)
     mu = jnp.maximum(mu, 0.0)
-    intens = 1.0 - ulimb_donor * (1.0 - mu)
-    return jnp.dot(mu * intens, grid.areas,
-                   precision=jax.lax.Precision.HIGHEST)
+    # mu * (1 - u*(1 - mu)) expanded so the fusion is pure FMA
+    w = mu * (1.0 - ulimb_donor) + ulimb_donor * mu * mu
+    return jnp.sum(w * grid.areas[None, :], axis=-1)
