@@ -15,20 +15,34 @@ def plot_eclipse(model, full_vec, eclipse_index=0, config=None, path=None):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    import jax
     import jax.numpy as jnp
 
     from ..models.cv import CVConfig, cv_fluxes
 
     if config is None:
         config = CVConfig(complex_spot=True)
-    config = config._replace(complex_spot=True)
+    # One unbatched vector on a small phase grid, evaluated once per
+    # figure: pin it to the CPU backend and jit there.  Eager execution
+    # on a remote-attached TPU pays a tunnel round trip PER OP (~3.5 min
+    # measured for one figure), and jitting on TPU would compile a
+    # one-shot scalar program the fit never reuses.  CPU compiles this in
+    # seconds and is the parity oracle anyway.  pallas_contacts is pinned
+    # off because the Mosaic kernel is TPU-only and the auto heuristic
+    # keys off the *default* backend, not the device we pin here.
+    config = config._replace(complex_spot=True, pallas_contacts=False)
 
     k = eclipse_index
     ecl = model.spec.eclipses[k]
     lc = ecl.lightcurve
-    cvp = model.cv_params(jnp.asarray(full_vec))[k]
-    widths = None if lc.width is None else jnp.asarray(lc.width)
-    out = cv_fluxes(cvp, jnp.asarray(lc.phase), widths, config)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cvp = model.cv_params(jax.device_put(jnp.asarray(full_vec), cpu))[k]
+        widths = (None if lc.width is None
+                  else jax.device_put(jnp.asarray(lc.width), cpu))
+        fluxes_fn = jax.jit(lambda p, ph: cv_fluxes(p, ph, widths, config))
+        out = fluxes_fn(cvp, jax.device_put(jnp.asarray(lc.phase), cpu))
+        out = jax.block_until_ready(out)
 
     fig, (ax, axr) = plt.subplots(
         2, 1, figsize=(8, 6), sharex=True,
