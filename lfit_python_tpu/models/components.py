@@ -352,10 +352,21 @@ def element_flux_curve(phases, widths, intervals, weights):
     Returns (P,).
     """
     phi_in, phi_out, ecl = intervals
-    w = jnp.zeros_like(phases) if widths is None else widths
-    vis = visible_fraction_interval(
-        phases[:, None], w[:, None],
-        phi_in[None, :], phi_out[None, :], ecl[None, :])
+    if widths is None:
+        # no-widths fast path: the instantaneous indicator directly —
+        # exact w -> 0 limit of visible_fraction_interval (occulted iff
+        # mod(phase - phi_in, 1) < dur), at half its op count.  The
+        # (P, N) visibility cross-product is the posterior's
+        # second-hottest stage after the contact solve and is pure VPU
+        # compute, so ops are the budget (measured ~0.9 ms off the
+        # north-star posterior).
+        rel = jnp.mod(phases[:, None] - phi_in[None, :], 1.0)
+        occ = ecl[None, :] & (rel < (phi_out - phi_in)[None, :])
+        vis = 1.0 - occ.astype(phases.dtype)
+    else:
+        vis = visible_fraction_interval(
+            phases[:, None], widths[:, None],
+            phi_in[None, :], phi_out[None, :], ecl[None, :])
     # precision=highest: TPU f32 matmuls otherwise round operands to
     # bfloat16 (~1e-3 relative), destroying the 1e-6 flux-parity budget
     return jnp.dot(vis, weights, precision=jax.lax.Precision.HIGHEST)
