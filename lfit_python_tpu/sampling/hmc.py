@@ -220,16 +220,25 @@ def _da_update(da: _DAState, accept_prob, target=_TARGET_ACCEPT,
 
 
 def warmup_hmc(state: HMCState, ln_prob_fn, n_warmup, n_leapfrog=16,
-               target_accept=_TARGET_ACCEPT, traj_batch_fn=None):
+               target_accept=_TARGET_ACCEPT, traj_batch_fn=None,
+               chunk_size=16):
     """Stan-style two-phase warmup: dual-averaged step size, then a
     diagonal metric from phase-1 samples, then dual averaging again under
     the new metric. Returns the tuned state (positions at the warmup
-    end, adapted step_size and inv_mass)."""
+    end, adapted step_size and inv_mass).
+
+    Each warmup phase executes in ``chunk_size``-step device programs
+    (exactly like run_chunked's production stepping) rather than one
+    monolithic scan: a full-length warmup scan of a big posterior is a
+    single multi-minute device execution, which remote-attached TPU
+    runtimes kill with an UNAVAILABLE fault.  Chunking is
+    semantics-preserving — the (state, dual-averaging) carry is explicit.
+    """
     n1 = max(n_warmup // 2, 1)
     n2 = max(n_warmup - n1, 1)
 
     @partial(jax.jit, static_argnums=(2,))
-    def phase(state, da, n):
+    def phase_chunk(state, da, n):
         def body(carry, _):
             st, da = carry
             st, _, aprob, _ = hmc_step(st, ln_prob_fn, n_leapfrog,
@@ -239,11 +248,20 @@ def warmup_hmc(state: HMCState, ln_prob_fn, n_warmup, n_leapfrog=16,
                 step_size=jnp.exp(da.log_eps).astype(st.step_size.dtype))
             return (st, da), st.positions
 
-        (state, da), xs = jax.lax.scan(body, (state, da), None, length=n)
+        return jax.lax.scan(body, (state, da), None, length=n)
+
+    def phase(state, da, n):
+        xs_parts = []
+        done = 0
+        while done < n:
+            k = min(chunk_size, n - done)
+            (state, da), xs = phase_chunk(state, da, k)
+            xs_parts.append(xs)
+            done += k
         # adopt the averaged (not last) step size at the phase end
         state = state._replace(
             step_size=jnp.exp(da.log_eps_bar).astype(state.step_size.dtype))
-        return state, da, xs
+        return state, da, jnp.concatenate(xs_parts, axis=0)
 
     state, _, xs1 = phase(state, _da_init(state.step_size), n1)
 

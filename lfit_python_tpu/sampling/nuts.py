@@ -306,17 +306,22 @@ def nuts_step(state: HMCState, ln_prob_fn, max_depth=8,
 
 
 def warmup_nuts(state: HMCState, ln_prob_fn, n_warmup, max_depth=8,
-                target_accept=_TARGET_ACCEPT, traj_batch_fn=None):
+                target_accept=_TARGET_ACCEPT, traj_batch_fn=None,
+                chunk_size=8):
     """Stan-style two-phase warmup (dual-averaged step size -> diagonal
     metric from phase-1 draws -> re-averaged step size), with NUTS as the
-    transition kernel.  Mirrors hmc.warmup_hmc."""
+    transition kernel.  Mirrors hmc.warmup_hmc, including its chunked
+    phase execution (see that docstring: a monolithic warmup scan is a
+    single multi-minute device program that remote-attached TPU runtimes
+    kill; NUTS steps cost up to 2^max_depth gradients, hence the smaller
+    default chunk)."""
     from functools import partial
 
     n1 = max(n_warmup // 2, 1)
     n2 = max(n_warmup - n1, 1)
 
     @partial(jax.jit, static_argnums=(2,))
-    def phase(state, da, n):
+    def phase_chunk(state, da, n):
         def body(carry, _):
             st, da = carry
             st, _, aprob, _, _ = nuts_step(st, ln_prob_fn, max_depth,
@@ -326,10 +331,19 @@ def warmup_nuts(state: HMCState, ln_prob_fn, n_warmup, max_depth=8,
                 step_size=jnp.exp(da.log_eps).astype(st.step_size.dtype))
             return (st, da), st.positions
 
-        (state, da), xs = jax.lax.scan(body, (state, da), None, length=n)
+        return jax.lax.scan(body, (state, da), None, length=n)
+
+    def phase(state, da, n):
+        xs_parts = []
+        done = 0
+        while done < n:
+            k = min(chunk_size, n - done)
+            (state, da), xs = phase_chunk(state, da, k)
+            xs_parts.append(xs)
+            done += k
         state = state._replace(
             step_size=jnp.exp(da.log_eps_bar).astype(state.step_size.dtype))
-        return state, da, xs
+        return state, da, jnp.concatenate(xs_parts, axis=0)
 
     state, _, xs1 = phase(state, _da_init(state.step_size), n1)
 

@@ -22,9 +22,13 @@ Prints one JSON line per sampler plus a BASELINE.md-ready markdown table.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _model_and_posterior():
