@@ -58,29 +58,38 @@ def init_walkers(key, start, scatter, ln_prob_fn, n_walkers,
     scatter = jnp.asarray(scatter, start.dtype)
     D = start.shape[0]
 
-    def draw(k):
-        return start[None, :] + scatter[None, :] * jax.random.normal(
-            k, (n_walkers, D), start.dtype)
+    # The WHOLE init is one jitted program.  Un-jitted, the vmapped
+    # posterior evaluates eagerly — one dispatch per primitive — which on
+    # a remote-attached TPU costs a tunnel round trip per op (measured:
+    # 277 s for an init that runs in seconds compiled).
+    @jax.jit
+    def _init(key, start, scatter):
+        def draw(k):
+            return start[None, :] + scatter[None, :] * jax.random.normal(
+                k, (n_walkers, D), start.dtype)
 
-    key, k0 = jax.random.split(jnp.asarray(key))
-    pos = draw(k0)
-    lp = jax.vmap(ln_prob_fn)(pos)
+        key, k0 = jax.random.split(key)
+        pos = draw(k0)
+        lp = jax.vmap(ln_prob_fn)(pos)
 
-    def cond(carry):
-        _, _, lp, rounds = carry
-        return (~jnp.all(jnp.isfinite(lp))) & (rounds < max_rounds)
+        def cond(carry):
+            _, _, lp, rounds = carry
+            return (~jnp.all(jnp.isfinite(lp))) & (rounds < max_rounds)
 
-    def body(carry):
-        key, pos, lp, rounds = carry
-        key, kd = jax.random.split(key)
-        fresh = draw(kd)
-        bad = ~jnp.isfinite(lp)
-        cand = jnp.where(bad[:, None], fresh, pos)
-        lp_new = jnp.where(bad, jax.vmap(ln_prob_fn)(cand), lp)
-        return key, cand, lp_new, rounds + 1
+        def body(carry):
+            key, pos, lp, rounds = carry
+            key, kd = jax.random.split(key)
+            fresh = draw(kd)
+            bad = ~jnp.isfinite(lp)
+            cand = jnp.where(bad[:, None], fresh, pos)
+            lp_new = jnp.where(bad, jax.vmap(ln_prob_fn)(cand), lp)
+            return key, cand, lp_new, rounds + 1
 
-    key, pos, lp, _ = jax.lax.while_loop(
-        cond, body, (key, pos, lp, jnp.asarray(0, jnp.int32)))
+        key, pos, lp, _ = jax.lax.while_loop(
+            cond, body, (key, pos, lp, jnp.asarray(0, jnp.int32)))
+        return key, pos, lp
+
+    key, pos, lp = _init(jnp.asarray(key), start, scatter)
     return EnsembleState(key, pos, lp, jnp.asarray(0, jnp.int32))
 
 
@@ -228,24 +237,44 @@ def run_chunked(state, step_fn, n_steps, thin=1, chunk_size=64,
     tree = jax.tree_util
     kept_pos, kept_lp, auxs = [], [], []
     done = 0
-    for a_, b_ in plan:
-        if b_ is None:            # tail: no kept rows
-            state, caux = _scan_no_kept(state, step_fn, a_)
-            aux_h = tree.tree_map(np.asarray, caux)
-            n = a_
-        else:
-            state, (cpos, clp, caux) = _scan_keep_last(state, step_fn,
-                                                       a_, b_, extract)
+
+    # Software-pipelined chunk loop: JAX dispatch is async, so chunk k+1
+    # is ENQUEUED on the device before chunk k's results are pulled to
+    # host — the device→host copy (and the link round trip, seconds on a
+    # remote-attached TPU tunnel) overlaps the next chunk's compute
+    # instead of serialising with it.  The scan carry (`state`) is a
+    # device future; dispatching the next chunk never needs chunk k's
+    # numpy values.
+    def _materialize(entry):
+        nonlocal done
+        cpos, clp, caux, b_, n = entry
+        if b_ is not None:
             kept_pos.append(np.asarray(cpos))
             kept_lp.append(np.asarray(clp))
             aux_h = tree.tree_map(
                 lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]), caux)
-            n = a_ * b_
+        else:
+            aux_h = tree.tree_map(np.asarray, caux)
         auxs.append(aux_h)
         done += n
         if progress is not None:
             progress(done,
                      float(np.mean(tree.tree_leaves(aux_h)[0])))
+
+    pending = None
+    for a_, b_ in plan:
+        if b_ is None:            # tail: no kept rows
+            state, caux = _scan_no_kept(state, step_fn, a_)
+            entry = (None, None, caux, None, a_)
+        else:
+            state, (cpos, clp, caux) = _scan_keep_last(state, step_fn,
+                                                       a_, b_, extract)
+            entry = (cpos, clp, caux, b_, a_ * b_)
+        if pending is not None:
+            _materialize(pending)
+        pending = entry
+    if pending is not None:
+        _materialize(pending)
 
     if kept_pos:
         chain, chain_lp = np.concatenate(kept_pos), np.concatenate(kept_lp)

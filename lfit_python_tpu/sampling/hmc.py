@@ -82,31 +82,38 @@ def init_hmc(key, start, scatter, ln_prob_fn, n_chains,
     D = start.shape[0]
     vg = jax.vmap(_value_and_grad(ln_prob_fn))
 
-    def draw(k):
-        return start[None, :] + scatter[None, :] * jax.random.normal(
-            k, (n_chains, D), start.dtype)
+    # one jitted program — see init_walkers: an eager vmapped posterior
+    # costs one remote-TPU round trip PER PRIMITIVE
+    @jax.jit
+    def _init(key, start, scatter):
+        def draw(k):
+            return start[None, :] + scatter[None, :] * jax.random.normal(
+                k, (n_chains, D), start.dtype)
 
-    key, k0 = jax.random.split(jnp.asarray(key))
-    pos = draw(k0)
-    lp, g = vg(pos)
+        key, k0 = jax.random.split(key)
+        pos = draw(k0)
+        lp, g = vg(pos)
 
-    def cond(carry):
-        _, _, lp, _, rounds = carry
-        return (~jnp.all(jnp.isfinite(lp))) & (rounds < max_rounds)
+        def cond(carry):
+            _, _, lp, _, rounds = carry
+            return (~jnp.all(jnp.isfinite(lp))) & (rounds < max_rounds)
 
-    def body(carry):
-        key, pos, lp, g, rounds = carry
-        key, kd = jax.random.split(key)
-        fresh = draw(kd)
-        bad = ~jnp.isfinite(lp)
-        cand = jnp.where(bad[:, None], fresh, pos)
-        lp_new, g_new = vg(cand)
-        lp2 = jnp.where(bad, lp_new, lp)
-        g2 = jnp.where(bad[:, None], g_new, g)
-        return key, cand, lp2, g2, rounds + 1
+        def body(carry):
+            key, pos, lp, g, rounds = carry
+            key, kd = jax.random.split(key)
+            fresh = draw(kd)
+            bad = ~jnp.isfinite(lp)
+            cand = jnp.where(bad[:, None], fresh, pos)
+            lp_new, g_new = vg(cand)
+            lp2 = jnp.where(bad, lp_new, lp)
+            g2 = jnp.where(bad[:, None], g_new, g)
+            return key, cand, lp2, g2, rounds + 1
 
-    key, pos, lp, g, _ = jax.lax.while_loop(
-        cond, body, (key, pos, lp, g, jnp.asarray(0, jnp.int32)))
+        key, pos, lp, g, _ = jax.lax.while_loop(
+            cond, body, (key, pos, lp, g, jnp.asarray(0, jnp.int32)))
+        return key, pos, lp, g
+
+    key, pos, lp, g = _init(jnp.asarray(key), start, scatter)
     return HMCState(key, pos, lp, g,
                     jnp.asarray(step_size, start.dtype),
                     scatter.astype(start.dtype) ** 2,

@@ -375,13 +375,21 @@ def _nuts_step_closure(ln_prob_fn, max_depth, traj_batch_fn=None):
 
 
 def run_nuts(state: HMCState, ln_prob_fn, n_steps, max_depth=8, thin=1,
-             chunk_size=32,
+             chunk_size=8,
              progress: Optional[Callable[[int, float], None]] = None,
              traj_batch_fn=None):
     """Run NUTS for ``n_steps``; same chunked on-device-thinned transfer
     contract as ensemble.run_sampler / hmc.run_hmc.
     Returns (state, chain (n_kept, C, D), chain_lp (n_kept, C),
-    accept_stat (n_steps,), divergences (n_steps,), depths (n_steps,))."""
+    accept_stat (n_steps,), divergences (n_steps,), depths (n_steps,)).
+
+    ``chunk_size`` defaults smaller than the other samplers': one NUTS
+    step costs up to 2^max_depth gradient evaluations, so a 32-step
+    chunk of a big posterior is a single multi-minute device program —
+    long enough that remote-attached TPU runtimes kill the worker with
+    an UNAVAILABLE fault (observed killing a 32-step max_depth-8 chunk
+    of the north-star posterior).  8 steps bounds the program to tens
+    of seconds at worst-case depth."""
     from .ensemble import run_chunked
 
     step_fn = _nuts_step_closure(ln_prob_fn, max_depth, traj_batch_fn)

@@ -64,31 +64,40 @@ def init_pt(key, start, scatter, ln_prior_fn, ln_like_fn, n_walkers,
     betas = jnp.asarray(betas, start.dtype)
     key = jnp.asarray(key)
 
-    def draw(k):
-        return start[None, None, :] + scatter[None, None, :] * \
-            jax.random.normal(k, (n_temps, n_walkers, start.shape[0]),
-                              start.dtype)
+    # one jitted program — see ensemble.init_walkers: an eager vmapped
+    # posterior costs one remote-TPU round trip PER PRIMITIVE
+    @jax.jit
+    def _init(key, start, scatter):
+        def draw(k):
+            return start[None, None, :] + scatter[None, None, :] * \
+                jax.random.normal(k, (n_temps, n_walkers, start.shape[0]),
+                                  start.dtype)
 
-    key, k0 = jax.random.split(key)
-    pos = draw(k0)
-    lp = jax.vmap(jax.vmap(ln_prior_fn))(pos)
+        key, k0 = jax.random.split(key)
+        pos = draw(k0)
+        lp = jax.vmap(jax.vmap(ln_prior_fn))(pos)
 
-    def cond(carry):
-        _, _, lp, rounds = carry
-        return (~jnp.all(jnp.isfinite(lp))) & (rounds < max_rounds)
+        def cond(carry):
+            _, _, lp, rounds = carry
+            return (~jnp.all(jnp.isfinite(lp))) & (rounds < max_rounds)
 
-    def body(carry):
-        key, pos, lp, rounds = carry
-        key, kd = jax.random.split(key)
-        fresh = draw(kd)
-        bad = ~jnp.isfinite(lp)
-        cand = jnp.where(bad[..., None], fresh, pos)
-        lp_new = jnp.where(bad, jax.vmap(jax.vmap(ln_prior_fn))(cand), lp)
-        return key, cand, lp_new, rounds + 1
+        def body(carry):
+            key, pos, lp, rounds = carry
+            key, kd = jax.random.split(key)
+            fresh = draw(kd)
+            bad = ~jnp.isfinite(lp)
+            cand = jnp.where(bad[..., None], fresh, pos)
+            lp_new = jnp.where(
+                bad, jax.vmap(jax.vmap(ln_prior_fn))(cand), lp)
+            return key, cand, lp_new, rounds + 1
 
-    key, pos, lp, _ = jax.lax.while_loop(
-        cond, body, (key, pos, lp, jnp.asarray(0, jnp.int32)))
-    ll = jax.vmap(jax.vmap(ln_like_fn))(pos)
+        key, pos, lp, _ = jax.lax.while_loop(
+            cond, body, (key, pos, lp, jnp.asarray(0, jnp.int32)))
+        ll = jax.vmap(jax.vmap(ln_like_fn))(pos)
+        return key, pos, ll, lp
+
+    key, pos, ll, lp = _init(key, jnp.asarray(start),
+                             jnp.asarray(scatter, start.dtype))
     return PTState(key, pos, ll, lp, betas, jnp.asarray(0, jnp.int32))
 
 
