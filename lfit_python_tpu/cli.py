@@ -24,11 +24,47 @@ import numpy as np
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat runs (and resume) skip the
-    multi-minute TPU compiles."""
+    multi-minute TPU compiles.
+
+    The cache directory is keyed by a fingerprint of the HOST CPU: cached
+    XLA:CPU executables are AOT-compiled against the compiling host's
+    exact ISA feature set, and this box's sessions land on heterogeneous
+    hosts — loading an AOT result built for a different feature set risks
+    SIGILL.  A per-host-type directory makes every load ISA-matched; TPU
+    executables are host-agnostic and simply re-cache once per host type.
+    (NB the loader's "machine feature mismatch ... SIGILL" warning fires
+    even for same-host entries: the only mismatched "features" are
+    +prefer-no-scatter/+prefer-no-gather, XLA tuning pseudo-features that
+    LLVM host detection never reports.  The warning alone is not evidence
+    of a cross-host load.)
+
+    Under pytest the cache stays OFF: in-process CLI-fit tests would
+    switch it on for the remainder of the suite, and two independent
+    full-suite segfaults (faulthandler dumps 2026-08-19) landed inside
+    the cache write/compile path of XLA:CPU executables — while CPU
+    test compiles are fast enough that the cache buys nothing there.
+    """
+    import hashlib
+    import os
+    import platform
+
     import jax
 
+    if "PYTEST_CURRENT_TEST" in os.environ:
+        return
     try:
-        cache = Path.home() / ".cache" / "lfit_python_tpu_xla"
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        flags = line
+                        break
+        except OSError:
+            pass
+        tag = hashlib.sha1(
+            (platform.machine() + flags).encode()).hexdigest()[:10]
+        cache = Path.home() / ".cache" / f"lfit_python_tpu_xla_{tag}"
         cache.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
