@@ -332,12 +332,38 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
                      precise=geometry.precise))
 
     # ---- disc + spot via per-element contact intervals ------------------
-    all_pos = jnp.concatenate([disc_pos, spot_pos], axis=0)
-    if disc_pos64 is not None:
-        all_pos64 = jnp.concatenate(
-            [disc_pos64, spot_pos.astype(jnp.float64)], axis=0)
+    # MIRROR HALVING (round 4): the Roche geometry is symmetric under
+    # (y, phase) -> (-y, -phase), and the disc azimuth grid is built in
+    # exact mirror pairs (az_j <-> 2pi - az_j for j <-> n_az-1-j), so an
+    # element at (px, -py) has eclipse interval (-phi_out, -phi_in) of
+    # its partner at (px, py) — verified BITWISE against direct solves
+    # (the solver's arithmetic commutes exactly with the y negation;
+    # tests/test_components.py TestMirrorContacts).  The contact solve —
+    # 11.5 ms of the 17 ms north-star posterior (tools/ablate_posterior)
+    # — therefore runs on HALF the disc azimuths plus the (asymmetric)
+    # spot strip, and the other half is reconstructed by negation.
+    n_rad, n_az = config.n_disc_rad, config.n_disc_az
+    mirror = n_az % 2 == 0
+    if mirror:
+        half_az = n_az // 2
+        n_solve_disc = n_rad * half_az
+        d3 = disc_pos.reshape(n_rad, n_az, 3)
+        all_pos = jnp.concatenate(
+            [d3[:, :half_az].reshape(-1, 3), spot_pos], axis=0)
+        if disc_pos64 is not None:
+            d364 = disc_pos64.reshape(n_rad, n_az, 3)
+            all_pos64 = jnp.concatenate(
+                [d364[:, :half_az].reshape(-1, 3),
+                 spot_pos.astype(jnp.float64)], axis=0)
+        else:
+            all_pos64 = None
     else:
-        all_pos64 = None
+        all_pos = jnp.concatenate([disc_pos, spot_pos], axis=0)
+        if disc_pos64 is not None:
+            all_pos64 = jnp.concatenate(
+                [disc_pos64, spot_pos.astype(jnp.float64)], axis=0)
+        else:
+            all_pos64 = None
     use_pallas = config.pallas_contacts
     if use_pallas is None:                 # auto: TPU only
         use_pallas = jax.default_backend() == "tpu"
@@ -357,9 +383,22 @@ def cv_fluxes(pars, phases, widths=None, config: CVConfig = CVConfig(),
         intervals = comp.element_intervals(q, incl, all_pos, x1, pl1,
                                            precise=geometry.precise,
                                            positions64=all_pos64)
-    n_disc = disc_pos.shape[0]
-    disc_iv = tuple(a[:n_disc] for a in intervals)
-    spot_iv = tuple(a[n_disc:] for a in intervals)
+    if mirror:
+        # reconstruct the sin(az) < 0 half: column k of the second half
+        # mirrors column half_az-1-k of the first (= flip along az)
+        s_in, s_out, s_ecl = intervals
+        di = s_in[:n_solve_disc].reshape(n_rad, half_az)
+        do = s_out[:n_solve_disc].reshape(n_rad, half_az)
+        de = s_ecl[:n_solve_disc].reshape(n_rad, half_az)
+        disc_iv = (
+            jnp.concatenate([di, -jnp.flip(do, axis=1)], axis=1).reshape(-1),
+            jnp.concatenate([do, -jnp.flip(di, axis=1)], axis=1).reshape(-1),
+            jnp.concatenate([de, jnp.flip(de, axis=1)], axis=1).reshape(-1))
+        spot_iv = tuple(a[n_solve_disc:] for a in intervals)
+    else:
+        n_disc = disc_pos.shape[0]
+        disc_iv = tuple(a[:n_disc] for a in intervals)
+        spot_iv = tuple(a[n_disc:] for a in intervals)
     # NB: a Pallas kernel for this reduction (lane-rotation scheme: rotate
     # the element vregs against the phase lanes, accumulate in registers)
     # was built and measured in round 3 and LOST to the XLA fusion 123 vs

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 __all__ = ["element_intervals_pallas", "contacts_op", "contacts_op_diff",
            "LANE"]
 
-LANE = 1024          # elements per row (padded); 8 x (8, 128) vregs
+LANE = 1024          # max elements per row; actual pad is ceil(N/128)*128
 _W_BLOCK = 8         # walkers per program (sublane dimension)
 
 _EDGE_ITERS = 8          # kept in lockstep with geometry._EDGE_ITERS
@@ -259,7 +259,9 @@ def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
     bloat; measured +14 ms on the 5-eclipse posterior), whereas the
     componentwise slices fuse into clean (W, N) layouts.
     Returns (phi_in, phi_out, eclipsed) of shape (W, N).
-    N is padded to LANE and W to a multiple of 8 internally.
+    N is padded to the next multiple of 128 lanes (so a mirror-halved
+    512-element solve set costs exactly half the 992-element one — a
+    fixed LANE pad would erase the saving) and W to a multiple of 8.
     """
     f32 = jnp.float32
     q = jnp.asarray(q, f32)
@@ -270,10 +272,11 @@ def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
     py_in = jnp.asarray(py_in, f32)
     W, N = px_in.shape
     Wp = ((W + _W_BLOCK - 1) // _W_BLOCK) * _W_BLOCK
+    lane = max(128, ((N + 127) // 128) * 128)
 
     # pad slots at a harmless never-eclipsed point far behind the observer
-    px = jnp.full((Wp, LANE), 2.0, f32)
-    py = jnp.zeros((Wp, LANE), f32)
+    px = jnp.full((Wp, lane), 2.0, f32)
+    py = jnp.zeros((Wp, lane), f32)
     px = px.at[:W, :N].set(px_in)
     py = py.at[:W, :N].set(py_in)
 
@@ -321,9 +324,9 @@ def element_intervals_pallas(q, incl_deg, px_in, py_in, xl1_val, phi_l1,
     w_inscr = jnp.sqrt((1.0 - c_ins) / (1.0 + c_ins))
 
     grid = (Wp // _W_BLOCK,)
-    row_spec = pl.BlockSpec((_W_BLOCK, LANE), lambda w: (w, 0))
+    row_spec = pl.BlockSpec((_W_BLOCK, lane), lambda w: (w, 0))
     scal_spec = pl.BlockSpec((_W_BLOCK, 8), lambda w: (w, 0))
-    out_shape = [jax.ShapeDtypeStruct((Wp, LANE), f32)] * 3
+    out_shape = [jax.ShapeDtypeStruct((Wp, lane), f32)] * 3
     # trace the kernel with x64 disabled: the body is pure f32, but under
     # an x64-enabled caller (the --precise/--x64 CLI modes enable it
     # globally) pallas/fori internals pick up i64 scalars that Mosaic

@@ -330,3 +330,66 @@ class TestWDFastPath:
             lambda ph: comp.wd_visible_fraction(
                 Q, incl, ph, 0.012, 0.35, x1, pl1))(phases))
         np.testing.assert_allclose(fast, slow, atol=1e-9)
+
+
+class TestMirrorContacts:
+    """The mirror identity behind cv_fluxes's halved contact solve: the
+    Roche geometry is symmetric under (y, phase) -> (-y, -phase), so an
+    orbital-plane element at (px, -py) has eclipse interval
+    (-phi_out, -phi_in) of its partner at (px, py) — and the solver's
+    arithmetic commutes EXACTLY with the y negation, so the identity is
+    bitwise, not just analytic.  cv_fluxes reconstructs the sin(az) < 0
+    disc half by negation instead of solving it (models/cv.py); the
+    golden tests (1e-9 pins on full cv_fluxes output computed before the
+    change) are the end-to-end guard."""
+
+    def test_reflection_bitwise(self, geom):
+        from lfit_python_tpu.roche.geometry import contact_interval
+
+        x1, pl1, incl = geom
+        rng = np.random.default_rng(7)
+        r = rng.uniform(0.02, 0.55, 256)
+        a = rng.uniform(0.0, np.pi, 256)          # sin(az) > 0 half
+        px = jnp.asarray(r * np.cos(a))
+        py = jnp.asarray(r * np.sin(a))
+
+        def solve(pxx, pyy):
+            p = jnp.stack([pxx, pyy, jnp.zeros_like(pxx)], axis=-1)
+            return jax.vmap(
+                lambda pp: contact_interval(Q, incl, pp, x1, pl1))(p)
+
+        pin, pout, ecl = solve(px, py)
+        min_, mout_, mecl_ = solve(px, -py)
+        assert np.array_equal(np.asarray(ecl), np.asarray(mecl_))
+        assert np.asarray(ecl).sum() > 50       # the draw actually eclipses
+        m = np.asarray(ecl)
+        np.testing.assert_array_equal(
+            np.asarray(min_)[m], -np.asarray(pout)[m])
+        np.testing.assert_array_equal(
+            np.asarray(mout_)[m], -np.asarray(pin)[m])
+
+    def test_cv_fluxes_matches_full_solve(self, geom):
+        """cv_fluxes with the mirror reconstruction (even n_az) agrees
+        with an odd-n_az neighbouring-resolution run only statistically —
+        so instead compare against a direct full-set interval solve wired
+        through element_flux_curve, which is exactly what the pre-mirror
+        cv_fluxes computed."""
+        x1, pl1, incl = geom
+        pars = jnp.asarray(
+            [0.1, 0.3, 0.2, 0.1, Q, DPHI, 0.6, 0.35, 0.012, 0.02,
+             160.0, 0.2, 1.5, 0.0])
+        phases = jnp.linspace(-0.12, 0.12, 41)
+        cfg = _CFG
+        out = cv_fluxes(pars, phases, config=cfg)
+
+        # full-set solve (the pre-mirror path), assembled by hand
+        from lfit_python_tpu.models.cv import cv_geometry
+        geo = cv_geometry(pars, cfg)
+        disc_pos, disc_w = comp.disc_elements(
+            pars[8], geo.rdisc, pars[12], cfg.n_disc_rad, cfg.n_disc_az,
+            pars.dtype)
+        iv = comp.element_intervals(Q, geo.incl, disc_pos, x1, pl1)
+        ydisc_full = pars[1] * comp.element_flux_curve(
+            phases, None, iv, disc_w)
+        np.testing.assert_array_equal(
+            np.asarray(out.ydisc), np.asarray(ydisc_full))
