@@ -264,6 +264,17 @@ def main():
         extras["hmc_grad_evals_per_sec"] = round(
             _measure_hmc(north, 256, 16, dtype), 1)
 
+    def _hmc_gp():
+        # the GP x gradient seam (round-4 VERDICT #1: this combination
+        # was broken by the NaN-grad prior bug and had never been
+        # measured) — leapfrog grad evals/sec through the segmented
+        # Matern-3/2 scan on the BASELINE-config-4 shape
+        gp_model = build_model(
+            n_eclipses=5, complex_spot=[False] * 5, use_gp=True,
+            n_points=128, bands=("g", "r")).compile()
+        extras["hmc_gp_grad_evals_per_sec"] = round(
+            _measure_hmc(gp_model, 256, 16, dtype), 1)
+
     def _nuts():
         traj, depth = _measure_nuts(north, 256, 6, dtype)
         extras["nuts_traj_per_sec"] = round(traj, 1)
@@ -273,6 +284,7 @@ def main():
     _try(_config5, config5_evals_per_sec=None)
     _try(_pt, pt_evals_per_sec=None, pt_cost_vs_fused=None)
     _try(_hmc, hmc_grad_evals_per_sec=None)
+    _try(_hmc_gp, hmc_gp_grad_evals_per_sec=None)
     _try(_nuts, nuts_traj_per_sec=None, nuts_mean_depth=None)
 
     print(json.dumps({

@@ -99,33 +99,56 @@ def ln_prior_table(vals, table: PriorTable):
     # which is exactly how params starting at 0.0 (phi0, yaw) NaN'd the
     # posterior gradient.
     tiny = jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype)
+    one = jnp.asarray(1.0, v.dtype)
 
-    # uniform(lo, hi)
+    # Each family also carries a hyperparameter-validity mask: every row's
+    # (p1, p2) pair feeds ALL five family formulas, so e.g. a uniform
+    # prior with hi = 0 puts p2 = 0 into the gauss row's divisor.  A
+    # v-DEPENDENT inf in an unselected row (like ((v-p1)/0)**2) meets its
+    # zero cotangent as 0*inf = NaN in the VJP — the exact failure that
+    # made jax.grad of every GP-flagged posterior NaN (the in-repo GP
+    # hyperparameter priors are uniform(lo, 0)).  Degenerate-but-SELECTED
+    # hyperparameters (sigma <= 0, empty support, ...) yield -inf.
+
+    # uniform(lo, hi): needs hi > lo
+    uni_ok = p2 > p1
     ln_uni = jnp.where(
-        (v >= p1) & (v <= p2), -jnp.log(p2 - p1), neg_inf)
-    # log_uniform(lo, hi): p ~ 1/x on [lo, hi]
+        uni_ok & (v >= p1) & (v <= p2),
+        -jnp.log(jnp.where(uni_ok, p2 - p1, one)), neg_inf)
+    # log_uniform(lo, hi): p ~ 1/x on [lo, hi]; needs 0 < lo < hi
+    logu_ok = (p1 > 0.0) & (p2 > p1)
     safe_v = jnp.maximum(v, tiny)
     ln_logu = jnp.where(
-        (v >= p1) & (v <= p2),
-        -jnp.log(safe_v) - jnp.log(jnp.log(p2 / p1)),
+        logu_ok & (v >= p1) & (v <= p2),
+        -jnp.log(safe_v)
+        - jnp.log(jnp.log(jnp.where(logu_ok, p2 / jnp.maximum(p1, tiny),
+                                    jnp.e))),
         neg_inf)
-    # gauss(mean, sigma)
-    ln_g = (-0.5 * ((v - p1) / p2) ** 2
-            - jnp.log(p2) - 0.5 * jnp.log(2.0 * jnp.pi))
+    # gauss(mean, sigma): needs sigma > 0.  The divisor must be safe even
+    # on unselected rows (see mask note above).
+    g_ok = p2 > 0.0
+    safe_sig = jnp.where(g_ok, p2, one)
+    ln_g = jnp.where(
+        g_ok,
+        -0.5 * ((v - p1) / safe_sig) ** 2
+        - jnp.log(safe_sig) - 0.5 * jnp.log(2.0 * jnp.pi),
+        neg_inf)
     # gaussPos: gaussian truncated to v >= 0 (renormalisation constant is
     # parameter-independent given (p1, p2), included for correctness)
     from jax.scipy.special import erf
-    z = p1 / (jnp.sqrt(2.0) * p2)
+    z = p1 / (jnp.sqrt(2.0) * safe_sig)
     ln_norm_pos = jnp.log(0.5 * (1.0 + erf(z)))
-    ln_gp = jnp.where(v >= 0.0, ln_g - ln_norm_pos, neg_inf)
-    # mod_jeff(knee, hi): p ~ 1/(v + knee) on [0, hi); in-support rows
-    # have v + knee >= knee > 0, so the floor only sanitises the
-    # derivative of masked-out rows (v + p1 <= 0 for params whose table
-    # row reuses a uniform's negative p1)
+    ln_gp = jnp.where(g_ok & (v >= 0.0), ln_g - ln_norm_pos, neg_inf)
+    # mod_jeff(knee, hi): p ~ 1/(v + knee) on [0, hi); needs knee > 0,
+    # hi > 0.  In-support rows have v + knee >= knee > 0, so the floor
+    # only sanitises the derivative of masked-out rows (v + p1 <= 0 for
+    # params whose table row reuses a uniform's negative p1)
+    mj_ok = (p1 > 0.0) & (p2 > 0.0)
     ln_mj = jnp.where(
-        (v >= 0.0) & (v < p2),
+        mj_ok & (v >= 0.0) & (v < p2),
         -jnp.log(jnp.maximum(v + p1, tiny))
-        - jnp.log(jnp.log((p2 + p1) / p1)),
+        - jnp.log(jnp.log(jnp.where(
+            mj_ok, (p2 + p1) / jnp.maximum(p1, tiny), jnp.e))),
         neg_inf)
 
     stacked = jnp.stack([ln_uni, ln_logu, ln_g, ln_gp, ln_mj], axis=0)

@@ -5,7 +5,7 @@ used by the GP eclipse nodes (SURVEY.md §2 "celerite (external)", "GP
 eclipse nodes" [R]).  Implemented here from the Foreman-Mackey et al. (2017)
 recursions as a ``lax.scan`` over time — O(n) work and state of size J=2 —
 batched over walkers/eclipses with vmap.  (n ~ 1e3 points per eclipse, so
-walker-level parallelism dominates and a Blelchley-scan parallelisation of
+walker-level parallelism dominates and a Blelloch-scan parallelisation of
 the time recursion is unnecessary; SURVEY.md §5.7.)
 
 Matern-3/2 in celerite form (celerite ``Matern32Term``): with amplitude

@@ -136,6 +136,33 @@ class TestHMCCLI:
         assert float(state.step_size) > 0.0
         assert state.inv_mass.shape == (13,)
 
+    def test_hmc_gp_fit_runs(self, fit_dir):
+        """--sampler hmc on a useGP input: the round-4 CONFIRMED-bug
+        combination — GP hyperparameter priors are uniform(lo, 0), whose
+        p2 = 0 used to NaN the gauss row's VJP and with it every leapfrog
+        gradient.  End-to-end: warmup + production with finite chain
+        log-probs."""
+        from lfit_python_tpu.cli import main
+
+        inp = (fit_dir / "mcmc_input.dat").read_text().replace(
+            "useGP = 0", "useGP = 1")
+        inp += ("ln_ampin_gp_0 = -8 uniform -20 0 1\n"
+                "ln_ampout_gp_0 = -9 uniform -20 0 1\n"
+                "ln_tau_gp_0 = -5 uniform -10 0 1\n")
+        gp_inp = fit_dir / "mcmc_input_gp.dat"
+        gp_inp.write_text(inp)
+        out = fit_dir / "out_hmc_gp"
+        rc = main(["fit", str(gp_inp), "--outdir", str(out), "--quiet",
+                   "--sampler", "hmc", "--hmc-leapfrog", "4",
+                   "--nburn", "10", "--nprod", "8", "--no-plots",
+                   "--resolution", "low"])
+        assert rc == 0
+        from lfit_python_tpu.utils.chains import read_chain
+        chain, lnp, names = read_chain(out / "chain_prod.txt")
+        assert chain.shape == (8, 32, 16)
+        assert "ln_tau_gp_ecl0" in names
+        assert np.isfinite(lnp).all()
+
     def test_hmc_resume_kind_guard(self, fit_dir):
         import jax
         import jax.numpy as jnp

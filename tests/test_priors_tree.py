@@ -78,6 +78,71 @@ class TestPriors:
             Prior("lorentz", 0, 1)
 
 
+class TestPriorGradients:
+    """Every family's grad must be finite for EVERY (p1, p2) that can
+    appear in ANY row of a mixed table — unselected rows still evaluate
+    all five formulas, and a v-dependent inf there meets its zero
+    cotangent as 0*inf = NaN in the VJP.  Regression for the round-4
+    confirmed bug: grad of a uniform(lo, 0) prior was NaN because the
+    gauss row divided by p2 = 0 (this poisoned jax.grad of every
+    GP-flagged posterior, whose hyperparameter priors are uniform(lo, 0))."""
+
+    EDGE_HYPERS = [(-20.0, 0.0), (0.0, 1.0), (0.0, 0.0), (1.0, 0.0),
+                   (-1.0, -0.5), (0.5, 10.0)]
+    EDGE_VALS = [-5.0, 0.0, 0.5, 100.0]
+
+    @staticmethod
+    def _grad(ty, p1, p2, v):
+        import jax
+        t = make_prior_table([_p("x", v, Prior(ty, p1, p2))])
+        return np.asarray(
+            jax.grad(lambda x: ln_prior_table(x, t))(jnp.asarray([v])))
+
+    def test_minimal_repro_uniform_hi_zero(self):
+        g = self._grad("uniform", -20.0, 0.0, -5.0)
+        assert np.isfinite(g).all()
+
+    @pytest.mark.parametrize(
+        "ty", ["uniform", "log_uniform", "gauss", "gaussPos", "mod_jeff"])
+    def test_grad_finite_at_edge_hypers(self, ty):
+        for p1, p2 in self.EDGE_HYPERS:
+            for v in self.EDGE_VALS:
+                g = self._grad(ty, p1, p2, v)
+                assert np.isfinite(g).all(), (ty, p1, p2, v, g)
+
+    def test_grad_matches_analytic_in_support(self):
+        # d/dv checks where the analytic derivative is simple
+        assert self._grad("uniform", 0.0, 2.0, 1.0)[0] == 0.0
+        assert self._grad("gauss", 2.0, 0.5, 3.0)[0] == pytest.approx(
+            -(3.0 - 2.0) / 0.25)
+        assert self._grad("log_uniform", 0.1, 10.0, 2.0)[0] == pytest.approx(
+            -1.0 / 2.0)
+        assert self._grad("mod_jeff", 0.1, 10.0, 0.9)[0] == pytest.approx(
+            -1.0 / (0.9 + 0.1))
+
+    def test_mixed_table_grad_finite(self):
+        """The exact shipped failure: a gauss row NEXT TO uniform(lo, 0)
+        rows (GP hyperparameter priors) in one table."""
+        import jax
+        t = make_prior_table([
+            _p("ln_amp", -8.0, Prior("uniform", -20.0, 0.0)),
+            _p("flux", 0.1, Prior("gauss", 0.1, 0.01)),
+            _p("tau", -5.0, Prior("uniform", -10.0, 0.0)),
+        ])
+        g = np.asarray(jax.grad(lambda x: ln_prior_table(x, t))(
+            jnp.asarray([-8.0, 0.1, -5.0])))
+        assert np.isfinite(g).all()
+
+    def test_degenerate_selected_hypers_give_neg_inf(self):
+        # a SELECTED family with degenerate hyperparameters is -inf, not NaN
+        for ty, p1, p2, v in [("uniform", 1.0, 1.0, 1.0),
+                              ("gauss", 0.0, 0.0, 0.0),
+                              ("log_uniform", -1.0, 2.0, 1.0),
+                              ("mod_jeff", -0.1, 10.0, 1.0)]:
+            t = make_prior_table([_p("x", v, Prior(ty, p1, p2))])
+            assert float(ln_prior_table(jnp.asarray([v]), t)) == -np.inf
+
+
 def make_tiny_model(n_ecl=2, complex_flags=(False, True), gp_flags=(False, False)):
     rng = np.random.default_rng(0)
     core = {

@@ -15,6 +15,10 @@ Ablations:
   no_donor    donor_flux -> ones       (keeps donor_grid root-find)
   no_dgrid    donor_grid -> unit grid  (also removes the grid solve)
   geometry    all of the above at once (tree/prior/geometry floor)
+
+--parts instead measures the PT parts path (ln_prior / ln_like / their
+sum vs the fused ln_prob) so a regression in the hoisted-geometry split
+is caught by measurement (round-4 VERDICT #6).
 """
 
 import contextlib
@@ -27,25 +31,60 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _measure(model, dtype, n_walkers=1024, reps=20):
-    import jax
+def _walker_block(model, dtype, n_walkers):
     import jax.numpy as jnp
 
-    from lfit_python_tpu.models.likelihood import make_ln_prob
-
-    ln_prob = make_ln_prob(model, dtype=dtype)
-    fn = jax.jit(jax.vmap(ln_prob))
     start = np.asarray(model.var_start(), np.float32)
     rng = np.random.default_rng(0)
-    pos = jnp.asarray(
+    return jnp.asarray(
         start[None, :] + 0.001 * np.abs(start)[None, :]
         * rng.standard_normal((n_walkers, start.size)), dtype)
+
+
+def _time_batched(scalar_fn, pos, reps=20):
+    import jax
+
+    fn = jax.jit(jax.vmap(scalar_fn))
     fn(pos).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(pos)
     out.block_until_ready()
     return (time.perf_counter() - t0) / reps
+
+
+def _measure(model, dtype, n_walkers=1024, reps=20):
+    from lfit_python_tpu.models.likelihood import make_ln_prob
+
+    ln_prob = make_ln_prob(model, dtype=dtype)
+    return _time_batched(ln_prob, _walker_block(model, dtype, n_walkers),
+                         reps)
+
+
+def parts_mode(model, dtype, n_walkers=1024):
+    """Stage costs of the PT parts path (round-4 VERDICT #6).
+
+    The tempered sampler evaluates (ln_prior, ln_like) separately per
+    proposal — likelihood.make_ln_prob_parts hoists the shared core
+    geometry into BOTH so the pair costs ~1 fused posterior, not ~2
+    (measured 1.29-1.37x; target <= 1.5x).  A regression in that hoist
+    shows up here as prior+like drifting toward 2x fused."""
+    from lfit_python_tpu.models.likelihood import make_ln_prob_parts
+
+    ln_prior, ln_like, ln_prob = make_ln_prob_parts(model, dtype=dtype)
+    pos = _walker_block(model, dtype, n_walkers)
+    t_fused = _time_batched(ln_prob, pos)
+    t_prior = _time_batched(ln_prior, pos)
+    t_like = _time_batched(ln_like, pos)
+    print(f"fused ln_prob  {1e3 * t_fused:8.2f} ms")
+    print(f"ln_prior       {1e3 * t_prior:8.2f} ms "
+          f"({t_prior / t_fused:.2f}x fused)")
+    print(f"ln_like        {1e3 * t_like:8.2f} ms "
+          f"({t_like / t_fused:.2f}x fused)")
+    ratio = (t_prior + t_like) / t_fused
+    print(f"parts pair     {1e3 * (t_prior + t_like):8.2f} ms "
+          f"({ratio:.2f}x fused; hoist regression if >> 1.5)")
+    return ratio
 
 
 @contextlib.contextmanager
@@ -94,8 +133,17 @@ def patched(**which):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", action="store_true",
+                    help="measure the PT (ln_prior, ln_like) parts path "
+                         "vs the fused posterior instead of the stage "
+                         "ablations")
+    args = ap.parse_args()
 
     jax.config.update("jax_enable_x64", True)
 
@@ -105,6 +153,10 @@ def main():
     model = build_model(n_eclipses=5, complex_spot=[False] * 5,
                         n_points=128, bands=("g", "r")).compile()
     dtype = jnp.float32
+
+    if args.parts:
+        parts_mode(model, dtype)
+        return
 
     cases = [
         ("full", {}),

@@ -141,7 +141,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_enable_x64", True)   # faster f32 executable
+    # x64-enabled process: XLA compiles a ~30% FASTER executable for the
+    # identical f32 posterior (measured in cli.py _fit: 68 vs 91 ms)
+    jax.config.update("jax_enable_x64", True)
     from lfit_python_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
 
