@@ -69,7 +69,7 @@ def make_synthetic_lightcurve(n_points=100, noise=0.002, seed=0,
     cpu = jax.devices("cpu")[0]
     # committed-CPU inputs make the jitted evaluation run on the CPU
     # backend; jit (vs eager) matters because the forward model contains a
-    # 6000-step stream scan that is minutes of op-by-op dispatch eagerly.
+    # 4352-step stream scan that is minutes of op-by-op dispatch eagerly.
     # The inputs MUST go numpy -> CPU directly: jnp.asarray would place
     # them on the default (TPU) device and the TPU->CPU device_put then
     # blocks on an accelerator transfer (observed stalling >2 min through

@@ -359,9 +359,15 @@ def element_flux_curve(phases, widths, intervals, weights):
         # (P, N) visibility cross-product is the posterior's
         # second-hottest stage after the contact solve and is pure VPU
         # compute, so ops are the budget (measured ~0.9 ms off the
-        # north-star posterior).
-        rel = jnp.mod(phases[:, None] - phi_in[None, :], 1.0)
-        occ = ecl[None, :] & (rel < (phi_out - phi_in)[None, :])
+        # north-star posterior).  The `ecl &` guard is redundant here
+        # and dropped from the (P, N) sweep: non-eclipsed elements carry
+        # phi_in == phi_out == phi_c so dur == 0 and rel >= 0 is never
+        # < 0; NaN intervals (invalid geometry) compare false either
+        # way.  (The width path still needs `ecl`: its overlap formula
+        # divides by dur.)
+        d = phases[:, None] - phi_in[None, :]
+        rel = d - jnp.floor(d)        # == mod(d, 1) in 2 ops (no rem fixup)
+        occ = rel < (phi_out - phi_in)[None, :]
         vis = 1.0 - occ.astype(phases.dtype)
     else:
         vis = visible_fraction_interval(
@@ -556,9 +562,6 @@ def donor_curve_eval(nodes, phases):
     x = tf * (2.0 * n_quad)                       # node units
     j = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n_quad - 1)
     s = x - j.astype(x.dtype)
-    # even-reflected ghost indices: -1 -> 1, n_quad + 1 -> n_quad - 1
-    jm1 = jnp.abs(j - 1)
-    jp2 = n_quad - jnp.abs(n_quad - (j + 2))
     # Catmull-Rom basis weights of the four taps
     s2 = s * s
     s3 = s2 * s
@@ -566,14 +569,29 @@ def donor_curve_eval(nodes, phases):
     w1 = 0.5 * (2.0 - 5.0 * s2 + 3.0 * s3)
     w2 = 0.5 * (s + 4.0 * s2 - 3.0 * s3)
     w3 = 0.5 * (-s2 + s3)
+    # ONE one-hot of the base index j, not four (round 5): the other
+    # three taps are coherent shifts of j, so their node values come from
+    # SHIFTED COPIES of the node vector, fetched by the same one-hot in a
+    # single (P, n+1) @ (n+1, 4) matmul.  The shifted columns are built
+    # by slice+concat (no gathers), with the even-reflection ghosts
+    # (-1 -> 1; n+1 -> n-1) baked in exactly:
+    #   col0[m] = nodes[|m-1|]                 (tap j-1)
+    #   col1[m] = nodes[m]                      (tap j)
+    #   col2[m] = nodes[m+1]                    (tap j+1; m = n unused)
+    #   col3[m] = nodes[n - |n-(m+2)|]          (tap j+2)
+    # j <= n-1 always, so the m = n row of cols 2/3 is never selected —
+    # padded with the last node (any finite value works).  This quarters
+    # the one-hot build (the dominant cost: 4 x (P x (n+1)) compares ->
+    # 1) and moves the tap fetch onto the MXU; measured ~0.8 ms off the
+    # north-star posterior at n = 256.
     m = jnp.arange(n_quad + 1, dtype=jnp.int32)[None, :]   # (1, n+1)
-
-    def oh(idx):
-        return (idx[:, None] == m).astype(s.dtype)
-
-    W = (w0[:, None] * oh(jm1) + w1[:, None] * oh(j)
-         + w2[:, None] * oh(j + 1) + w3[:, None] * oh(jp2))
-    out = jnp.dot(W, nodes, precision=jax.lax.Precision.HIGHEST)
+    oh = (j[:, None] == m).astype(s.dtype)
+    col0 = jnp.concatenate([nodes[1:2], nodes[:-1]])
+    col2 = jnp.concatenate([nodes[1:], nodes[-1:]])
+    col3 = jnp.concatenate([nodes[2:], nodes[-2:-1], nodes[-1:]])
+    taps = jnp.stack([col0, nodes, col2, col3], axis=-1)   # (n+1, 4)
+    g = jnp.dot(oh, taps, precision=jax.lax.Precision.HIGHEST)  # (P, 4)
+    out = w0 * g[:, 0] + w1 * g[:, 1] + w2 * g[:, 2] + w3 * g[:, 3]
     return jnp.reshape(out, shape)
 
 

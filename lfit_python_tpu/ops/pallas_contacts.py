@@ -40,7 +40,7 @@ _W_BLOCK = 8         # walkers per program (sublane dimension)
 
 _EDGE_ITERS = 8          # kept in lockstep with geometry._EDGE_ITERS
 _T_NEWTON = 3            # seed solve (conjunction test) only
-_T_WARM = 2              # lockstep with geometry._EDGE_T_WARM
+_T_WARM = 1              # lockstep with geometry._EDGE_T_WARM
 _CLEAR_VISIBLE = 10.0
 
 

@@ -506,8 +506,13 @@ _EDGE_T_NEWTON = 3       # clamped Newton steps for the ray minimum (seed)
 # _EDGE_T_NEWTON solve + 2 endpoint-insurance evaluations.  By the
 # envelope theorem the clearance c is second-order insensitive to t
 # error, so the cheaper inner solve does not move the root (measured vs
-# the f64 oracle: error tail unchanged, tools/accuracy_contacts.py)
-_EDGE_T_WARM = 2
+# the f64 oracle: error tail unchanged, tools/accuracy_contacts.py).
+# Round 5: ONE polish step suffices — tools/accuracy_contacts.py
+# before/after on the 131072-contact stress ensemble: median 4.99e-8
+# both ways, p99.9 1.16e-6 vs 1.18e-6, flag agreement identical
+# (8/131072 differ); the dropped second step's serial rsqrt chain was
+# ~2 ms of the north-star posterior (13.6 -> 11.6 ms at 1024 walkers).
+_EDGE_T_WARM = 1
 # mixed-precision split: the first iterations run entirely in f32; the
 # last _EDGE_ITERS_F64 re-evaluate the decision quantity c in f64 (f64 is
 # ~30x f32 on TPU via emulation, so the budget is spent only where the

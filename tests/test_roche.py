@@ -194,7 +194,7 @@ class TestStream:
         scan — the exact derivative of the discrete RK4 map — including
         the closest-approach fallback row (rd-derivative exactly zero)."""
         from lfit_python_tpu.roche.stream import (
-            _DT, _stream_impacts_impl, stream_impacts)
+            _DT, _N_STEPS, _stream_impacts_impl, stream_impacts)
 
         q = jnp.asarray(0.12, jnp.float64)
         x1 = xl1(q)
@@ -205,7 +205,7 @@ class TestStream:
             return stream_impacts(qq, rr, xx)
 
         def oracle(qq, rr, xx):
-            return _stream_impacts_impl(qq, rr, xx, 6000, _DT, 1,
+            return _stream_impacts_impl(qq, rr, xx, _N_STEPS, _DT, 1,
                                         with_sens=False)[0]
 
         for argnum in (0, 1, 2):

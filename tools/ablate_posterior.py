@@ -16,6 +16,11 @@ Ablations:
   no_dgrid    donor_grid -> unit grid  (also removes the grid solve)
   geometry    all of the above at once (tree/prior/geometry floor)
 
+--floor additionally dissects that geometry floor (round-5): with wd/
+contacts/curve/donor/dgrid all ablated, it removes one floor stage at a
+time (stream integration, findi, spot elements, the prior table) so the
+residual tree/dispatch cost is visible.
+
 --parts instead measures the PT parts path (ln_prior / ln_like / their
 sum vs the fused ln_prob) so a regression in the hoisted-geometry split
 is caught by measurement (round-4 VERDICT #6).
@@ -92,13 +97,47 @@ def patched(**which):
     import jax.numpy as jnp
 
     from lfit_python_tpu.models import components as comp
+    from lfit_python_tpu.models import likelihood as lk
     from lfit_python_tpu.ops import pallas_contacts as pc
+    from lfit_python_tpu.roche import geometry as geo
+    from lfit_python_tpu.roche import stream as strm
 
     saved = {}
 
     def put(mod, name, fn):
         saved[(mod, name)] = getattr(mod, name)
         setattr(mod, name, fn)
+
+    if which.get("stream"):
+        def fake_impacts(q, rdiscs, xl1_val=None, **k):
+            E = rdiscs.shape[0]
+            base = jnp.stack([0.3 * jnp.ones_like(rdiscs),
+                              0.2 * jnp.ones_like(rdiscs),
+                              jnp.zeros_like(rdiscs)], axis=-1)
+            return base * (1.0 + 0.0 * q)
+        put(strm, "stream_impacts", fake_impacts)
+        # likelihood.py imports inside the closures via `from ..roche.
+        # stream import stream_impacts`, which re-resolves at trace time
+        # through the module dict — the put above covers it.
+    if which.get("findi"):
+        from lfit_python_tpu.models import cv as cvmod
+        fake_findi = lambda q, dphi, x1=None, pl1=None: 85.0 + 0.0 * q
+        # likelihood.py and cv.py bind findi as a module global at import
+        # (`from ..roche.geometry import findi`), so patch every binding
+        put(geo, "findi", fake_findi)
+        put(lk, "findi", fake_findi)
+        put(cvmod, "findi", fake_findi)
+    if which.get("spotel"):
+        def fake_spot(q, rdisc, scale, az, exp1, exp2, n_elem=32, **k):
+            n = n_elem
+            pos = jnp.stack([jnp.full((n,), 0.3, q.dtype),
+                             jnp.full((n,), 0.2, q.dtype),
+                             jnp.zeros((n,), q.dtype)], axis=-1)
+            return pos * (1.0 + 0.0 * rdisc), jnp.full((n,), 1.0 / n,
+                                                       q.dtype)
+        put(comp, "spot_elements", fake_spot)
+    if which.get("prior"):
+        put(lk, "ln_prior_table", lambda vals, table: jnp.sum(0.0 * vals))
 
     if which.get("wd"):
         put(comp, "wd_flux",
@@ -143,6 +182,9 @@ def main():
                     help="measure the PT (ln_prior, ln_like) parts path "
                          "vs the fused posterior instead of the stage "
                          "ablations")
+    ap.add_argument("--floor", action="store_true",
+                    help="dissect the geometry floor: with every flux "
+                         "stage ablated, remove one floor stage at a time")
     args = ap.parse_args()
 
     jax.config.update("jax_enable_x64", True)
@@ -158,24 +200,37 @@ def main():
         parts_mode(model, dtype)
         return
 
-    cases = [
-        ("full", {}),
-        ("no_wd", {"wd": True}),
-        ("no_contacts", {"contacts": True}),
-        ("no_curve", {"curve": True, "contacts": True}),
-        ("no_donor", {"donor": True}),
-        ("no_dgrid", {"donor": True, "dgrid": True}),
-        ("geometry", {"wd": True, "contacts": True, "curve": True,
-                      "donor": True, "dgrid": True}),
-    ]
+    flux_off = {"wd": True, "contacts": True, "curve": True,
+                "donor": True, "dgrid": True}
+    if args.floor:
+        cases = [
+            ("geometry", dict(flux_off)),
+            ("g-stream", dict(flux_off, stream=True)),
+            ("g-findi", dict(flux_off, findi=True)),
+            ("g-spotel", dict(flux_off, spotel=True)),
+            ("g-prior", dict(flux_off, prior=True)),
+            ("g-all", dict(flux_off, stream=True, findi=True,
+                           spotel=True, prior=True)),
+        ]
+    else:
+        cases = [
+            ("full", {}),
+            ("no_wd", {"wd": True}),
+            ("no_contacts", {"contacts": True}),
+            ("no_curve", {"curve": True, "contacts": True}),
+            ("no_donor", {"donor": True}),
+            ("no_dgrid", {"donor": True, "dgrid": True}),
+            ("geometry", flux_off),
+        ]
     base = None
     for name, kw in cases:
         with patched(**kw):
             dt = _measure(model, dtype)
-        if name == "full":
+        if base is None:
             base = dt
-        delta = "" if base is None or name == "full" else \
-            f"  (marginal {1e3 * (base - dt):6.2f} ms)"
+            delta = ""
+        else:
+            delta = f"  (marginal {1e3 * (base - dt):6.2f} ms)"
         print(f"{name:12s} {1e3 * dt:8.2f} ms{delta}", flush=True)
 
 

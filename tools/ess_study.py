@@ -18,6 +18,15 @@ chains is the honest configuration).
 
 Usage:  python tools/ess_study.py [--steps-scale S]
 Prints one JSON line per sampler plus a BASELINE.md-ready markdown table.
+
+--config5 (round-5, VERDICT r4 #2) runs the same comparison on the
+BASELINE config-5 posterior (10 eclipses x complex spot x GP, ~60
+variable params) — the regime where affine-invariant ensembles are
+expected to degrade and the gradient samplers to pay off.  The ensemble
+runs its natural 4096-walker operating point (BASELINE.json configs[4]);
+HMC runs a TRAJECTORY-LENGTH SEARCH (--leapfrogs, default 4 8 16 32) so
+the comparison is against a *tuned* HMC rather than a single pinned
+n_leapfrog (round-4 VERDICT weak #4).
 """
 
 import argparse
@@ -31,15 +40,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _model_and_posterior():
+def _model_and_posterior(config5=False):
     import jax.numpy as jnp
 
     from lfit_python_tpu.examples import build_model
     from lfit_python_tpu.models.likelihood import make_ln_prob
 
-    model = build_model(
-        n_eclipses=5, complex_spot=[False] * 5, n_points=128,
-        bands=("g", "r")).compile()
+    if config5:
+        # BASELINE config 5: 10 eclipses x complex spot x GP flickering
+        # (the same model bench.py's config5 row measures).  ~63 variable
+        # params: the high-dimensional regime of VERDICT r4 #2.
+        model = build_model(
+            n_eclipses=10, complex_spot=True, use_gp=True, n_points=128,
+            bands=("g", "r")).compile()
+    else:
+        model = build_model(
+            n_eclipses=5, complex_spot=[False] * 5, n_points=128,
+            bands=("g", "r")).compile()
     return model, make_ln_prob(model, dtype=jnp.float32)
 
 
@@ -136,8 +153,19 @@ def main():
                     help="scale all step counts (quick smoke: 0.1)")
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["ensemble", "hmc", "nuts"])
+    ap.add_argument("--config5", action="store_true",
+                    help="run on the BASELINE config-5 posterior "
+                         "(10 ecl x complex x GP, ~63 params) instead of "
+                         "the 13-param flagship")
+    ap.add_argument("--leapfrogs", type=int, nargs="*", default=None,
+                    help="HMC trajectory-length search values "
+                         "(default: [16] flagship, [4, 8, 16, 32] "
+                         "--config5)")
     args = ap.parse_args()
     s = args.steps_scale
+    leapfrogs = args.leapfrogs
+    if leapfrogs is None:
+        leapfrogs = [4, 8, 16, 32] if args.config5 else [16]
 
     import jax
 
@@ -147,19 +175,35 @@ def main():
     from lfit_python_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
 
-    model, ln_prob = _model_and_posterior()
+    model, ln_prob = _model_and_posterior(args.config5)
+    print(json.dumps({"posterior": "config5" if args.config5 else
+                      "flagship", "n_var": model.n_var}), flush=True)
+    # config-5: the ensemble's natural operating point is 4096 walkers
+    # (BASELINE.json configs[4]); higher dimension also means longer
+    # autocorrelation times, so the production run is longer to keep the
+    # FFT tau estimator in its reliable regime (chain >> tau)
+    n_walkers = 4096 if args.config5 else 1024
+    ens_prod = int((4000 if args.config5 else 2000) * s)
     rows = []
     if "ensemble" not in args.skip:
         rows.append(run_ensemble(model, ln_prob,
-                                 n_burn=int(400 * s), n_prod=int(2000 * s)))
+                                 n_burn=int(400 * s), n_prod=ens_prod,
+                                 n_walkers=n_walkers))
         print(json.dumps(rows[-1]), flush=True)
     if "hmc" not in args.skip:
-        rows.append(run_gradient("hmc", model, ln_prob,
-                                 n_warm=int(300 * s), n_prod=int(400 * s)))
-        print(json.dumps(rows[-1]), flush=True)
+        for nl in leapfrogs:
+            rows.append(run_gradient("hmc", model, ln_prob,
+                                     n_warm=int(300 * s),
+                                     n_prod=int(400 * s), n_leapfrog=nl))
+            print(json.dumps(rows[-1]), flush=True)
     if "nuts" not in args.skip:
+        md = 7 if args.config5 else 8
         rows.append(run_gradient("nuts", model, ln_prob,
-                                 n_warm=int(200 * s), n_prod=int(250 * s)))
+                                 n_warm=int((150 if args.config5 else 200)
+                                            * s),
+                                 n_prod=int((150 if args.config5 else 250)
+                                            * s),
+                                 max_depth=md))
         print(json.dumps(rows[-1]), flush=True)
 
     print("\n| sampler | chains | prod steps | prod wall | min ESS | "
@@ -167,7 +211,7 @@ def main():
     print("|---|---|---|---|---|---|---|")
     for r in rows:
         notes = []
-        for k in ("accept", "accept_stat", "mean_depth",
+        for k in ("n_leapfrog", "accept", "accept_stat", "mean_depth",
                   "divergence_frac"):
             if k in r:
                 notes.append(f"{k}={r[k]}")
