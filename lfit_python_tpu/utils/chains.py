@@ -139,22 +139,36 @@ def gelman_rubin(chain, discard=0):
     return np.sqrt(var_plus / np.maximum(W, 1e-300))
 
 
-def autocorr_time(chain, c=5.0):
+def autocorr_time(chain, c=5.0, walker_block=256):
     """Integrated autocorrelation time per parameter (emcee-style
     self-consistent window; used for effective-sample-size reporting).
 
     FFT-based: O(n log n (W + D)) — the naive np.correlate version was
     O(n^2 W D) and crawled on production chains (1e4 steps x 4096 walkers).
+
+    Walkers are processed in blocks of ``walker_block`` and their
+    normalised autocorrelations accumulated: the all-at-once FFT's
+    transient footprint is ~26x the f32 chain (f64 staging + two complex
+    spectra + the padded inverse), which at 4000 steps x 4096 walkers x
+    157 params is >100 GB and OOM-kills the process — the per-block peak
+    is the same 26x of a block only, at identical output (the walker
+    mean is a linear reduction).
     """
-    x = np.asarray(chain, np.float64)
+    x = np.asarray(chain)
     n, w, d = x.shape
     # next power of two >= 2n for linear (non-circular) autocorrelation
     nfft = 1 << (2 * n - 1).bit_length()
-    y = x - x.mean(axis=0, keepdims=True)          # (n, w, d)
-    fy = np.fft.rfft(y, n=nfft, axis=0)
-    acf = np.fft.irfft(fy * np.conj(fy), n=nfft, axis=0)[:n]  # (n, w, d)
-    acf = acf / np.maximum(acf[0], 1e-300)
-    f = acf.mean(axis=1)                            # (n, d) walker-averaged
+    f = np.zeros((n, d))
+    for b0 in range(0, w, walker_block):
+        y = np.asarray(x[:, b0:b0 + walker_block], np.float64)
+        y = y - y.mean(axis=0, keepdims=True)       # (n, wb, d)
+        fy = np.fft.rfft(y, n=nfft, axis=0)
+        fy *= np.conj(fy)
+        acf = np.fft.irfft(fy, n=nfft, axis=0)[:n]  # (n, wb, d)
+        del fy
+        acf /= np.maximum(acf[0], 1e-300)
+        f += acf.sum(axis=1)
+    f /= w                                          # (n, d) walker-averaged
     taus = np.empty(d)
     for j in range(d):
         taus_cum = 2.0 * np.cumsum(f[:, j]) - 1.0
