@@ -100,7 +100,7 @@ def run_ensemble(model, ln_prob, n_burn, n_prod, n_walkers=1024):
 
 
 def run_gradient(kind, model, ln_prob, n_warm, n_prod, n_chains=256,
-                 n_leapfrog=16, max_depth=8):
+                 n_leapfrog=16, max_depth=8, target_accept=None):
     import jax
     import jax.numpy as jnp
 
@@ -113,9 +113,16 @@ def run_gradient(kind, model, ln_prob, n_warm, n_prod, n_chains=256,
                      n_chains, step_size=1e-3)
     t0 = time.perf_counter()
     if kind == "hmc":
-        from lfit_python_tpu.sampling.hmc import run_hmc, warmup_hmc
+        from lfit_python_tpu.sampling.hmc import (
+            _TARGET_ACCEPT, run_hmc, warmup_hmc)
 
-        state = warmup_hmc(state, ln_prob, n_warm, n_leapfrog)
+        # --target-accept < default lets dual averaging settle at a
+        # LARGER step size, i.e. a genuinely longer trajectory L*eps —
+        # the lever the L-search alone cannot reach (the adapted eps
+        # scales ~1/L at fixed target, pinning L*eps constant)
+        ta = _TARGET_ACCEPT if target_accept is None else target_accept
+        state = warmup_hmc(state, ln_prob, n_warm, n_leapfrog,
+                           target_accept=ta)
         jax.block_until_ready(state)
         warm_s = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -161,6 +168,10 @@ def main():
                     help="HMC trajectory-length search values "
                          "(default: [16] flagship, [4, 8, 16, 32] "
                          "--config5)")
+    ap.add_argument("--target-accept", type=float, default=None,
+                    help="HMC dual-averaging acceptance target "
+                         "(default 0.8); lower = larger adapted step = "
+                         "longer trajectory at the same n_leapfrog")
     args = ap.parse_args()
     s = args.steps_scale
     leapfrogs = args.leapfrogs
@@ -194,7 +205,10 @@ def main():
         for nl in leapfrogs:
             rows.append(run_gradient("hmc", model, ln_prob,
                                      n_warm=int(300 * s),
-                                     n_prod=int(400 * s), n_leapfrog=nl))
+                                     n_prod=int(400 * s), n_leapfrog=nl,
+                                     target_accept=args.target_accept))
+            if args.target_accept is not None:
+                rows[-1]["target_accept"] = args.target_accept
             print(json.dumps(rows[-1]), flush=True)
     if "nuts" not in args.skip:
         md = 7 if args.config5 else 8
