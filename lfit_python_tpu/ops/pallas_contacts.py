@@ -118,28 +118,39 @@ def _kernel(scal_ref, px_ref, py_ref, wins_ref, wmax_ref,
     _, c_mid, _ = t_minimum(e_A, -e_B)
     eclipsed = c_mid < 0.0
 
-    def edge(sign):
+    def e_of(w, sign):
+        den = 1.0 / (1.0 + w * w)
+        cd = (1.0 - w * w) * den
+        sd = (2.0 * w) * den
+        ex = e_A * cd - sign * e_B * sd
+        ey = -(e_B * cd + sign * e_A * sd)
+        return ex, ey, den
+
+    def edges():
         # two-sided sphere bracket in the omega = tan(theta/2)
         # half-angle domain, lockstep with geometry.contact_interval:
         # inscribed-sphere hit = certified eclipsed end,
         # enclosing-sphere miss = visible end.  The Weierstrass
         # parametrization makes the per-iterate observer direction
-        # rational in omega — the 16 edge iterations spend no sin/cos;
-        # the wrapper converts the returned omega root to a phase with
+        # rational in omega — the edge iterations spend no sin/cos;
+        # the wrapper converts the returned omega roots to phases with
         # one arctan per edge (outside the kernel).
+        #
+        # BOTH edges (ingress sign = -1, egress sign = +1) iterate in
+        # ONE fori_loop (round 5): the edge Newton is a serial chain of
+        # dependent rsqrt/divides, so the loop is LATENCY-bound, not
+        # throughput-bound (removing one warm Newton step — ~25% of the
+        # ops — saved ~2 ms of a 13.6 ms posterior).  Interleaving the
+        # two independent edge chains in the same iteration gives the
+        # VPU a second in-flight dependency chain to hide that latency;
+        # each edge's arithmetic is UNCHANGED (no reassociation), so
+        # results stay bitwise identical to the sequential form and to
+        # the XLA path (tests/test_pallas.py).
         lo = w_inscr
         hi = w_sphere
         w0 = 0.5 * (lo + hi)
 
-        def e_of(w):
-            den = 1.0 / (1.0 + w * w)
-            cd = (1.0 - w * w) * den
-            sd = (2.0 * w) * den
-            ex = e_A * cd - sign * e_B * sd
-            ey = -(e_B * cd + sign * e_A * sd)
-            return ex, ey, den
-
-        def body(_, carry):
+        def edge_step(sign, carry):
             # warm-started edge iteration, lockstep with
             # geometry.contact_interval's body: the ray-minimum t is
             # carried across omega iterates, clipped into the new sphere
@@ -147,7 +158,7 @@ def _kernel(scal_ref, px_ref, py_ref, wins_ref, wmax_ref,
             # steps; one fused i1/i2 pair then serves the clearance
             # value, the endpoint insurance, and the envelope derivative
             w, lo, hi, w_best, c_best, t = carry
-            ex, ey, den = e_of(w)
+            ex, ey, den = e_of(w, sign)
             tstar = wx * ex + wy * ey
             disc = rad * rad - (ww - tstar * tstar)
             half = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -231,18 +242,24 @@ def _kernel(scal_ref, px_ref, py_ref, wins_ref, wmax_ref,
             w = jnp.where(ok, w_newton, 0.5 * (lo + hi))
             return w, lo, hi, w_best, c_best, t
 
+        def body(_, carry):
+            return (edge_step(-1.0, carry[:6])
+                    + edge_step(+1.0, carry[6:]))
+
         big = jnp.full_like(w0, jnp.inf)
-        ex0, ey0, _ = e_of(w0)
-        t_init = wx * ex0 + wy * ey0
+        exA, eyA, _ = e_of(w0, -1.0)
+        exB, eyB, _ = e_of(w0, +1.0)
         # i32 bounds: under x64 a Python-int fori_loop counter becomes
         # i64, which Mosaic cannot legalize
         carry = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(_EDGE_ITERS), body,
-            (w0, lo, hi, w0, big, t_init))
-        return carry[3]
+            (w0, lo, hi, w0, big, wx * exA + wy * eyA,
+             w0, lo, hi, w0, big, wx * exB + wy * eyB))
+        return carry[3], carry[9]
 
-    win_ref[...] = jnp.where(eclipsed, edge(-1.0), 0.0)
-    wout_ref[...] = jnp.where(eclipsed, edge(+1.0), 0.0)
+    w_in, w_out = edges()
+    win_ref[...] = jnp.where(eclipsed, w_in, 0.0)
+    wout_ref[...] = jnp.where(eclipsed, w_out, 0.0)
     ecl_ref[...] = eclipsed.astype(jnp.float32)
 
 
