@@ -172,6 +172,32 @@ class TestStream:
         radii = jnp.linalg.norm(sps, axis=-1)
         np.testing.assert_allclose(np.asarray(radii), np.asarray(rd), atol=2e-3)
 
+    def test_trip_count_covers_prior_range(self):
+        """The scan trip count (_N_STEPS, cut to the first radial
+        periapsis in round 5) must leave margin at the EXTREMES of the
+        q prior (examples: uniform(0.03, 3.0)): the stream must still
+        reach a typical disc rim — and pass its periapsis — well before
+        the scan ends, for the smallest and largest q the prior admits.
+        Guards the step-count bound against future dt / prior changes
+        (steps-to-periapsis grows as q falls: 3759 at q = 0.03 vs 2639
+        at 3.5, measured at dt = 8e-4)."""
+        from lfit_python_tpu.roche.stream import (_N_STEPS,
+                                                  stream_trajectory)
+
+        for q in (0.03, 3.5):
+            qd = jnp.asarray(q, jnp.float64)
+            traj = stream_trajectory(qd)        # length _N_STEPS + 1
+            r = np.linalg.norm(np.asarray(traj), axis=-1)
+            dr = np.diff(r)
+            inc = np.where(dr > 0)[0]
+            assert inc.size, f"q={q}: periapsis not reached in {_N_STEPS}"
+            peri = int(inc[0])
+            assert peri < _N_STEPS - 256, (
+                f"q={q}: periapsis at step {peri} leaves <256-step margin"
+                f" of the {_N_STEPS}-step scan")
+            # every radius above the periapsis minimum is crossed
+            assert r.min() == pytest.approx(r[peri], rel=1e-6)
+
     def test_stream_impacts_matches_spot_position(self):
         """The carry-only multi-radius integration (the fused posterior's
         hot path) must reproduce the stacked-trajectory oracle, incl. the
