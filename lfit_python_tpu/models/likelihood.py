@@ -134,6 +134,30 @@ def _chi2_ln_like(model_flux, data: PosteriorData, k):
     return jnp.sum(jnp.where(data.mask[k], per, 0.0))
 
 
+def _q_prior_floor(model: CompiledModel) -> float:
+    """Host-side support floor of the q prior, for sizing the stream
+    scan (:func:`~..roche.stream.stream_steps_for`).
+
+    Per family: uniform/log_uniform -> p1; gauss -> mean - 6 sigma
+    (proposals beyond 6 sigma are astronomically rare AND mostly
+    prior-rejected); gaussPos/mod_jeff -> 0 (supports touch zero, so
+    the conservative scan tier applies).  Unknown q param (no
+    ``q_core`` row, e.g. a custom tree) -> 0.0, also conservative.
+    """
+    try:
+        i = model.param_names.index("q_core")
+    except ValueError:
+        return 0.0
+    code = int(model.prior_table.codes[i])
+    p1 = float(model.prior_table.p1[i])
+    p2 = float(model.prior_table.p2[i])
+    if code in (0, 1):                      # uniform, log_uniform
+        return max(p1, 0.0)
+    if code == 2:                           # gauss
+        return max(p1 - 6.0 * p2, 0.0)
+    return 0.0                              # gaussPos, mod_jeff
+
+
 def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
                        dtype=jnp.float64, gp_ln_like=None):
     """Build (ln_prior_fn, ln_like_fn, ln_prob_fn), each pure in the sampled
@@ -160,6 +184,13 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
     def _width_of(k):
         return None if _no_widths else data.width[k]
 
+    # scan trip count sized to the MODEL'S q prior at trace time: the
+    # periapsis-bounded default covers q >= 0.02; a user prior admitting
+    # smaller mass ratios extends the scan instead of silently handing
+    # those walkers the closest-approach fallback (roche/stream.py)
+    from ..roche.stream import stream_steps_for
+    _stream_steps = stream_steps_for(_q_prior_floor(model))
+
     def ln_prior(var_vec):
         """Prior table + physical-validity checks, with the SAME hoisted
         geometry as ``ln_prob``: one xl1/findi solve for the shared core
@@ -179,7 +210,8 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         x1 = xl1(q)
         pl1 = l1_potential(q, x1)
         incl = findi(q, dphi, x1, pl1)
-        impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
+        impacts = stream_impacts(q, cvp[:, 6] * x1, x1,
+                                 n_steps=_stream_steps)
         # the validity check needs no mixed-precision refinement and no
         # donor grid/curve — core=(x1, pl1, incl, no traj, no precise)
         core = (x1, pl1, incl, None, None)
@@ -204,7 +236,8 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         x1 = xl1(q)
         pl1 = l1_potential(q, x1)
         incl = findi(q, dphi, x1, pl1)
-        impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
+        impacts = stream_impacts(q, cvp[:, 6] * x1, x1,
+                                 n_steps=_stream_steps)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
         n_dq = resolve_donor_quad(config)
@@ -259,7 +292,8 @@ def make_ln_prob_parts(model: CompiledModel, config: CVConfig | None = None,
         x1 = xl1(q)
         pl1 = l1_potential(q, x1)
         incl = findi(q, dphi, x1, pl1)
-        impacts = stream_impacts(q, cvp[:, 6] * x1, x1)
+        impacts = stream_impacts(q, cvp[:, 6] * x1, x1,
+                                 n_steps=_stream_steps)
         dgrid = donor_grid(q, x1, pl1, config.n_donor_lat,
                            config.n_donor_lon, dtype)
         # donor curve hoisted out of the per-eclipse vmap: it depends only

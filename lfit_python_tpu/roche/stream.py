@@ -26,17 +26,38 @@ __all__ = ["stream_trajectory", "spot_position", "stream_impacts"]
 # reference integrates only to the first radial minimum (Roche::strmnx
 # [R]), and every physically meaningful rim crossing happens on the
 # first approach.  Measured steps-to-first-periapsis at dt = 8e-4 is
-# monotone decreasing in q: 4190 (q = 0.01), 3921 (0.02), 3759 (0.03),
-# 2639 (3.5) — 4352 (= 272 * unroll 16) covers q >= 0.01 with margin,
-# far below any CV prior in use (examples: uniform(0.03, 3.0)).  For
-# q < 0.01 the closest-approach fallback applies (prior-rejected
-# walkers only).  Was 6000 through round 4: the extra 1648 steps only
-# ever tracked the stream PAST periapsis, where a second-orbit rim
-# crossing would be unphysical (the stream has punched through the
-# disc) — and cost ~0.44 ms of every north-star posterior eval.
+# monotone decreasing in q: 4738 (q = 0.002), 4443 (0.005), 4190
+# (0.01), 3921 (0.02), 3759 (0.03), 2639 (3.5).  The default 4352
+# (= 272 * unroll 16) covers q >= 0.02 with a 431-step margin — every
+# physical CV and the in-repo priors (examples: uniform(0.03, 3.0)).
+# The fused posterior picks its trip count from the MODEL'S q-prior
+# support at trace time via :func:`stream_steps_for`, so a user prior
+# admitting extreme mass ratios extends the scan instead of silently
+# truncating it.  Was 6000 through round 4: the extra steps only ever
+# tracked the stream PAST periapsis, where a second-orbit rim crossing
+# would be unphysical (the stream has punched through the disc) — and
+# cost ~0.44 ms of every north-star posterior eval.
 _N_STEPS = 4352
 _DT = 8e-4
 _V0 = 1e-3  # initial speed towards the primary, in units of a*w
+
+
+def stream_steps_for(q_lo):
+    """Scan trip count covering first periapsis for all q >= ``q_lo``.
+
+    Tiers from the measured steps-to-periapsis table above, each with
+    >= 256 steps of margin and 16-step (unroll) alignment: 4352 covers
+    q >= 0.02, 5120 covers q >= 0.002 (periapsis 4738), and 6144 is
+    the conservative ceiling for priors admitting even smaller q
+    (below any physical CV donor; growth toward q -> 0 is slow — the
+    q = 0.002 -> 0.005 delta is only 295 steps).  Host-side (trace
+    time): call with the PRIOR's support floor, not a traced value.
+    """
+    if q_lo >= 0.02:
+        return _N_STEPS
+    if q_lo >= 0.002:
+        return 5120
+    return 6144
 
 
 def _accel(q, pos, vel):

@@ -198,6 +198,54 @@ class TestStream:
             # every radius above the periapsis minimum is crossed
             assert r.min() == pytest.approx(r[peri], rel=1e-6)
 
+    def test_step_tiers_cover_their_claimed_floors(self):
+        """stream_steps_for's tiers must each cover first periapsis with
+        >= 256-step margin AT the tier's own q floor (the worst case of
+        the range it claims).  Run at the floors of the first two tiers;
+        the q < 0.002 ceiling tier is below any physical CV donor and
+        covered by the monotone-growth argument in the docstring."""
+        from lfit_python_tpu.roche.stream import (stream_steps_for,
+                                                  stream_trajectory)
+
+        assert stream_steps_for(0.03) == stream_steps_for(0.02)
+        assert stream_steps_for(0.01) > stream_steps_for(0.02)
+        for q_floor in (0.02, 0.002):
+            n = stream_steps_for(q_floor)
+            traj = stream_trajectory(jnp.asarray(q_floor, jnp.float64),
+                                     n_steps=n)
+            r = np.linalg.norm(np.asarray(traj), axis=-1)
+            inc = np.where(np.diff(r) > 0)[0]
+            assert inc.size and int(inc[0]) < n - 256, (
+                f"tier for q >= {q_floor} ({n} steps) does not cover "
+                f"its own floor with margin")
+
+    def test_likelihood_sizes_scan_from_q_prior(self):
+        """The fused posterior must pick the scan tier from the model's
+        actual q prior (round-5 review finding: a user prior below the
+        default tier's floor must extend the scan, not silently hand
+        low-q walkers the closest-approach fallback)."""
+        from lfit_python_tpu.examples import build_model
+        from lfit_python_tpu.models.likelihood import _q_prior_floor
+        from lfit_python_tpu.models.priors import Prior
+        from lfit_python_tpu.roche.stream import stream_steps_for
+
+        m = build_model(n_eclipses=1, n_points=8)
+        assert _q_prior_floor(m.compile()) == pytest.approx(0.03)
+        assert stream_steps_for(0.03) == 4352
+        # rebuild with a prior reaching extreme mass ratios
+        m.core["q"] = type(m.core["q"])(
+            "q", 0.15, Prior("uniform", 0.005, 3.0))
+        assert _q_prior_floor(m.compile()) == pytest.approx(0.005)
+        assert stream_steps_for(0.005) == 5120
+        # gauss floor = mean - 6 sigma; gaussPos conservative
+        m.core["q"] = type(m.core["q"])(
+            "q", 0.15, Prior("gauss", 0.15, 0.01))
+        assert _q_prior_floor(m.compile()) == pytest.approx(0.09)
+        m.core["q"] = type(m.core["q"])(
+            "q", 0.15, Prior("gaussPos", 0.15, 0.05))
+        assert _q_prior_floor(m.compile()) == 0.0
+        assert stream_steps_for(0.0) == 6144
+
     def test_stream_impacts_matches_spot_position(self):
         """The carry-only multi-radius integration (the fused posterior's
         hot path) must reproduce the stacked-trajectory oracle, incl. the

@@ -110,7 +110,6 @@ def patched(**which):
 
     if which.get("stream"):
         def fake_impacts(q, rdiscs, xl1_val=None, **k):
-            E = rdiscs.shape[0]
             base = jnp.stack([0.3 * jnp.ones_like(rdiscs),
                               0.2 * jnp.ones_like(rdiscs),
                               jnp.zeros_like(rdiscs)], axis=-1)
