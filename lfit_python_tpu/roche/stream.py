@@ -113,7 +113,7 @@ def stream_impacts(q, rdiscs, xl1_val=None, n_steps=_N_STEPS, dt=_DT,
 
     Differentiable via a ``custom_jvp`` that integrates the FORWARD
     SENSITIVITY columns (d/dq, d/dx0, d/drdisc) in the same carry-only
-    scan: reverse-mode AD through the raw 6000-step scan would stash a
+    scan: reverse-mode AD through the raw multi-thousand-step scan would stash a
     residual set per step in HBM (re-creating exactly the traffic this
     redesign removed) and multiplies compile time; the sensitivity
     integration is forward-only, stores nothing, and the JVP is linear
